@@ -1,0 +1,2 @@
+from .mesh import (DATA_AXIS, MODEL_AXIS, batch_sharding, make_mesh,
+                   replicated, shard_batch)

@@ -1,0 +1,3 @@
+from .state import (TrainState, create_train_state, make_eval_step,
+                    make_train_step, model_rngs)
+from .optimizers import build_optimizers

@@ -1,0 +1,81 @@
+"""Optimizer construction from ``exp_params``.
+
+Replicates the reference's ``configure_optimizers``
+(/root/reference/experiment.py:152-187):
+
+* Adam(LR, weight_decay) over either all parameters or the submodule named
+  by ``update_parameters`` — partial freezing is done the JAX way with
+  ``optax.masked`` over the param pytree (no DDP ``find_unused_parameters``
+  analogue is needed under SPMD),
+* optional second Adam(LR_2) over the submodule named by ``submodel``
+  (adversarial models, e.g. FactorVAE's discriminator),
+* optional per-epoch ``ExponentialLR`` decay via ``scheduler_gamma`` /
+  ``scheduler_gamma_2`` — expressed as an optax schedule over *steps*
+  given ``steps_per_epoch``.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional
+
+import jax
+import optax
+
+
+def _subtree_mask(params: Any, prefix: Optional[str]):
+    """Boolean pytree: True for leaves under the top-level key ``prefix``."""
+    if prefix is None:
+        return jax.tree_util.tree_map(lambda _: True, params)
+    flat = {k: jax.tree_util.tree_map(lambda _: k == prefix or k.startswith(prefix), v)
+            for k, v in params.items()}
+    return flat
+
+
+def _adam(lr: float, weight_decay: float, gamma: Optional[float],
+          steps_per_epoch: int) -> optax.GradientTransformation:
+    if gamma is not None:
+        schedule = optax.exponential_decay(
+            init_value=lr, transition_steps=max(1, steps_per_epoch),
+            decay_rate=gamma, staircase=True)
+    else:
+        schedule = lr
+    if weight_decay:
+        return optax.adamw(schedule, weight_decay=weight_decay)
+    return optax.adam(schedule)
+
+
+def build_optimizers(
+    exp_params: Dict[str, Any],
+    params: Any,
+    steps_per_epoch: int = 1,
+) -> List[optax.GradientTransformation]:
+    """Returns a list of 1 or 2 gradient transformations."""
+    lr = exp_params.get("LR", 1e-3)
+    weight_decay = exp_params.get("weight_decay", 0.0)
+    gamma = exp_params.get("scheduler_gamma")
+    update_parameters = exp_params.get("update_parameters")
+
+    tx = _adam(lr, weight_decay, gamma, steps_per_epoch)
+    if update_parameters is not None:
+        mask = _subtree_mask(params, update_parameters)
+        tx = optax.chain(
+            optax.masked(tx, mask),
+            # zero out everything not in the trained submodule
+            optax.masked(optax.set_to_zero(),
+                         jax.tree_util.tree_map(lambda b: not b, mask)),
+        )
+    txs = [tx]
+
+    if exp_params.get("LR_2") is not None:
+        submodel = exp_params.get("submodel")
+        gamma2 = exp_params.get("scheduler_gamma_2")
+        tx2 = _adam(exp_params["LR_2"], 0.0, gamma2, steps_per_epoch)
+        if submodel is not None:
+            mask2 = _subtree_mask(params, submodel)
+            tx2 = optax.chain(
+                optax.masked(tx2, mask2),
+                optax.masked(optax.set_to_zero(),
+                             jax.tree_util.tree_map(lambda b: not b, mask2)),
+            )
+        txs.append(tx2)
+    return txs

@@ -1,0 +1,168 @@
+"""Functional train state + jittable train/eval step factories.
+
+This replaces the reference's PyTorch-Lightning ``VAEXperiment``
+(/root/reference/experiment.py:17-187) hot path with a single pure
+function: forward -> loss -> grad -> optax update. Everything the
+reference does with Python-side mutable state (BatchNorm running stats,
+annealing counters, two optimizers for adversarial models, partial
+freezing via ``update_parameters``) is explicit state here, so the whole
+step compiles once under ``jax.jit`` and runs SPMD over a device mesh.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, Optional, Sequence, Tuple
+
+import flax
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from ..models.base import BaseVAE, RNG_STREAMS
+
+Array = jax.Array
+
+
+class TrainState(struct.PyTreeNode):
+    """All mutable training state as one pytree.
+
+    ``opt_states`` is a tuple to support adversarial models that train two
+    parameter groups with two optimizers (reference FactorVAE,
+    /root/reference/experiment.py:163-167); single-optimizer models use a
+    1-tuple.
+    """
+
+    step: Array                    # global step, drives annealing schedules
+    params: Any
+    batch_stats: Any               # BatchNorm running stats ({} if none)
+    opt_states: Tuple[Any, ...]
+    rng: Array                     # base PRNG key, folded with step each step
+
+
+def model_rngs(base: Array, step: Array) -> Dict[str, Array]:
+    """Per-step named PRNG streams for the model's stochastic ops."""
+    key = jax.random.fold_in(base, step)
+    keys = jax.random.split(key, len(RNG_STREAMS))
+    return dict(zip(RNG_STREAMS, keys))
+
+
+def create_train_state(
+    model: BaseVAE,
+    rng: Array,
+    sample_batch: Dict[str, Array],
+    txs: Sequence[optax.GradientTransformation],
+    fwd_kwargs_keys: Sequence[str] = (),
+) -> TrainState:
+    """Initialize parameters with a sample batch and build opt states."""
+    init_rngs = {"params": rng, **model_rngs(rng, jnp.array(0))}
+    kwargs = _batch_kwargs(sample_batch, fwd_kwargs_keys)
+    variables = model.init(init_rngs, sample_batch["image"], train=True, **kwargs)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    opt_states = tuple(tx.init(params) for tx in txs)
+    return TrainState(step=jnp.array(0, jnp.int32), params=params,
+                      batch_stats=batch_stats, opt_states=opt_states, rng=rng)
+
+
+def _batch_kwargs(batch: Dict[str, Array], keys: Sequence[str]) -> Dict[str, Array]:
+    return {k: batch[k] for k in keys if k in batch}
+
+
+def make_train_step(
+    model: BaseVAE,
+    txs: Sequence[optax.GradientTransformation],
+    *,
+    M_N: float,
+    optimizer_idx: int = 0,
+    fwd_kwargs_keys: Sequence[str] = ("labels",),
+    static_fwd_kwargs: Optional[Dict[str, Any]] = None,
+) -> Callable[[TrainState, Dict[str, Array]], Tuple[TrainState, Dict[str, Array]]]:
+    """Build a jittable train step.
+
+    The reference passes ``M_N=kld_weight`` plus ``optimizer_idx`` /
+    ``batch_idx`` into every ``loss_function``
+    (/root/reference/experiment.py:51-54); here ``M_N`` and
+    ``optimizer_idx`` are compile-time constants of the step and the
+    annealing "batch_idx" role is played by ``state.step``.
+    """
+    static_fwd_kwargs = dict(static_fwd_kwargs or {})
+    tx = txs[optimizer_idx]
+
+    def step_fn(state: TrainState, batch: Dict[str, Array]):
+        rngs = model_rngs(state.rng, state.step)
+        kwargs = _batch_kwargs(batch, fwd_kwargs_keys)
+        kwargs.update(static_fwd_kwargs)
+        has_bn = bool(jax.tree_util.tree_leaves(state.batch_stats))
+
+        def loss_fn(params):
+            variables = {"params": params}
+            if has_bn:
+                variables["batch_stats"] = state.batch_stats
+                outputs, mutated = model.apply(
+                    variables, batch["image"], train=True, rngs=rngs,
+                    mutable=["batch_stats"], **kwargs)
+                new_bs = mutated["batch_stats"]
+            else:
+                outputs = model.apply(variables, batch["image"], train=True,
+                                      rngs=rngs, **kwargs)
+                new_bs = state.batch_stats
+            losses = model.loss_function(
+                outputs, M_N=M_N, step=state.step,
+                optimizer_idx=optimizer_idx, rng=rngs["noise"])
+            return losses["loss"], (losses, new_bs)
+
+        (loss, (losses, new_bs)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        updates, new_opt = tx.update(grads, state.opt_states[optimizer_idx],
+                                     state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        opt_states = tuple(
+            new_opt if i == optimizer_idx else s
+            for i, s in enumerate(state.opt_states))
+        new_state = state.replace(step=state.step + 1, params=new_params,
+                                  batch_stats=new_bs, opt_states=opt_states)
+        metrics = _split_scalars(losses)
+        return new_state, metrics
+
+    return step_fn
+
+
+def make_eval_step(
+    model: BaseVAE,
+    *,
+    M_N: float = 1.0,
+    fwd_kwargs_keys: Sequence[str] = ("labels",),
+    static_fwd_kwargs: Optional[Dict[str, Any]] = None,
+):
+    """Validation step: forward with running BN stats, loss with M_N=1.0
+    (reference /root/reference/experiment.py:61-74)."""
+    static_fwd_kwargs = dict(static_fwd_kwargs or {})
+
+    def step_fn(state: TrainState, batch: Dict[str, Array]):
+        rngs = model_rngs(state.rng, state.step + jnp.array(1 << 20, jnp.int32))
+        kwargs = _batch_kwargs(batch, fwd_kwargs_keys)
+        kwargs.update(static_fwd_kwargs)
+        variables = {"params": state.params}
+        if jax.tree_util.tree_leaves(state.batch_stats):
+            variables["batch_stats"] = state.batch_stats
+        outputs = model.apply(variables, batch["image"], train=False,
+                              rngs=rngs, **kwargs)
+        losses = model.loss_function(outputs, M_N=M_N, step=state.step,
+                                     optimizer_idx=0, rng=rngs["noise"])
+        return _split_scalars(losses)
+
+    return step_fn
+
+
+def _split_scalars(losses: Dict[str, Any]) -> Dict[str, Array]:
+    """Keep 0-d numeric entries plus small image-like diagnostics; drop
+    strings (the reference drops the ``mode`` key the same way,
+    /root/reference/experiment.py:93-107)."""
+    out = {}
+    for k, v in losses.items():
+        if isinstance(v, str):
+            continue
+        out[k] = v
+    return out
