@@ -3,20 +3,61 @@
 Mirrors the reference registry ``vae_models``
 (/root/reference/models/__init__.py:34-56) including the aliases
 ``VAE`` / ``GaussianVAE`` / ``CVAE`` / ``GumbelVAE`` (:29-32).
-Entries are appended as each model family lands.
+TwoStageVAE is commented out of the reference registry (:16) and is
+likewise not registered here.
 """
 
 from .base import BaseVAE
 from .backbones import ResidualLayer
+from .beta_vae import BetaVAE
+from .betatc_vae import BetaTCVAE
+from .cat_vae import CategoricalVAE
+from .cvae import ConditionalVAE
+from .dfcvae import DFCVAE
+from .dip_vae import DIPVAE
+from .fvae import FactorVAE
+from .gamma_vae import GammaVAE
+from .hvae import HVAE
+from .info_vae import InfoVAE
+from .iwae import IWAE
+from .joint_vae import JointVAE
+from .logcosh_vae import LogCoshVAE
+from .lvae import LVAE
+from .miwae import MIWAE
+from .mssim_vae import MSSIMVAE
+from .swae import SWAE
+from .vampvae import VampVAE
 from .vanilla_vae import VanillaVAE
+from .wae_mmd import WAE_MMD
 
 vae_models = {
+    "HVAE": HVAE,
+    "LVAE": LVAE,
+    "IWAE": IWAE,
+    "SWAE": SWAE,
+    "MIWAE": MIWAE,
+    "DFCVAE": DFCVAE,
+    "DIPVAE": DIPVAE,
+    "BetaVAE": BetaVAE,
+    "InfoVAE": InfoVAE,
+    "WAE_MMD": WAE_MMD,
+    "VampVAE": VampVAE,
+    "GammaVAE": GammaVAE,
+    "MSSIMVAE": MSSIMVAE,
+    "JointVAE": JointVAE,
+    "BetaTCVAE": BetaTCVAE,
+    "FactorVAE": FactorVAE,
+    "LogCoshVAE": LogCoshVAE,
     "VanillaVAE": VanillaVAE,
+    "ConditionalVAE": ConditionalVAE,
+    "CategoricalVAE": CategoricalVAE,
 }
 
 # Aliases (reference /root/reference/models/__init__.py:29-32)
 vae_models["VAE"] = VanillaVAE
 vae_models["GaussianVAE"] = VanillaVAE
+vae_models["CVAE"] = ConditionalVAE
+vae_models["GumbelVAE"] = CategoricalVAE
 
 
 def build_model(model_params: dict) -> BaseVAE:
@@ -30,6 +71,7 @@ def build_model(model_params: dict) -> BaseVAE:
     # extra YAML kwargs through **kwargs).
     fields = {f for f in cls.__dataclass_fields__}
     params = {k: v for k, v in params.items() if k in fields}
-    if "hidden_dims" in params and params["hidden_dims"] is not None:
-        params["hidden_dims"] = tuple(params["hidden_dims"])
+    for k in ("hidden_dims", "latent_dims", "causal_hidden_dims"):
+        if k in params and params[k] is not None:
+            params[k] = tuple(params[k])
     return cls(**params)

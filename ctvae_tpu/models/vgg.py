@@ -1,0 +1,114 @@
+"""Frozen VGG19-bn feature extractor for the DFC perceptual loss.
+
+The reference uses torchvision's pretrained ``vgg19_bn`` with frozen
+parameters in eval mode (/root/reference/models/dfcvae.py:81-87) and taps
+the ``features`` Sequential at module indices {'14','24','34','43'}
+(:152-153). This module reproduces that Sequential's exact indexing
+(conv/bn/relu triples + maxpools for config E) in NHWC.
+
+Weights live in the non-trainable ``"frozen"`` variable collection, so
+gradients flow *through* the features to the reconstruction (as in the
+reference) but the feature net itself is never updated — the JAX analogue
+of ``requires_grad=False``. With no network egress, weights initialize
+He-normal (random perceptual features); ``load_vgg19_bn_weights`` can
+overwrite them from a local torchvision state_dict if one exists.
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+# torchvision VGG config 'E' (vgg19): channel counts, 'M' = maxpool
+_VGG19_CFG = (64, 64, "M", 128, 128, "M", 256, 256, 256, 256, "M",
+              512, 512, 512, 512, "M", 512, 512, 512, 512, "M")
+
+
+def _sequential_plan() -> List[Tuple[str, int]]:
+    """Expands config E into the torchvision Sequential index order:
+    Conv2d, BatchNorm2d, ReLU per conv entry; MaxPool2d per 'M'."""
+    plan = []
+    for v in _VGG19_CFG:
+        if v == "M":
+            plan.append(("pool", 0))
+        else:
+            plan += [("conv", v), ("bn", v), ("relu", v)]
+    return plan
+
+
+class FrozenVGG19BN(nn.Module):
+    """Runs the features Sequential, returning activations at the given
+    module indices (as strings, matching the reference's keys)."""
+
+    feature_layers: Sequence[str] = ("14", "24", "34", "43")
+
+    @nn.compact
+    def __call__(self, x: Array) -> List[Array]:
+        plan = _sequential_plan()
+        wanted = {int(k) for k in self.feature_layers}
+        max_idx = max(wanted)
+        feats = []
+        he = nn.initializers.he_normal()
+        for idx, (kind, ch) in enumerate(plan):
+            if kind == "conv":
+                k = self.variable(
+                    "frozen", f"conv{idx}_kernel", he,
+                    self.make_rng("params") if self.has_rng("params") else jax.random.PRNGKey(0),
+                    (3, 3, x.shape[-1], ch)).value
+                b = self.variable("frozen", f"conv{idx}_bias",
+                                  lambda *_: jnp.zeros((ch,)), None).value
+                x = jax.lax.conv_general_dilated(
+                    x, k, (1, 1), "SAME",
+                    dimension_numbers=("NHWC", "HWIO", "NHWC")) + b
+            elif kind == "bn":
+                scale = self.variable("frozen", f"bn{idx}_scale",
+                                      lambda *_: jnp.ones((ch,)), None).value
+                bias = self.variable("frozen", f"bn{idx}_bias",
+                                     lambda *_: jnp.zeros((ch,)), None).value
+                mean = self.variable("frozen", f"bn{idx}_mean",
+                                     lambda *_: jnp.zeros((ch,)), None).value
+                var = self.variable("frozen", f"bn{idx}_var",
+                                    lambda *_: jnp.ones((ch,)), None).value
+                x = scale * (x - mean) * jax.lax.rsqrt(var + 1e-5) + bias
+            elif kind == "relu":
+                x = nn.relu(x)
+            else:  # pool
+                x = jax.lax.reduce_window(x, -jnp.inf, jax.lax.max,
+                                          (1, 2, 2, 1), (1, 2, 2, 1), "VALID")
+            if idx in wanted:
+                feats.append(x)
+            if idx >= max_idx:
+                break
+        return feats
+
+
+def load_vgg19_bn_weights(frozen_vars: dict, state_dict_path: str) -> dict:
+    """Overwrite the ``frozen`` collection from a torchvision vgg19_bn
+    state_dict saved locally (keys ``features.{i}.weight`` etc.). Returns
+    the updated collection; raises on shape mismatch."""
+    import numpy as np
+    import torch
+
+    sd = torch.load(state_dict_path, map_location="cpu")
+    out = dict(frozen_vars)
+    mapping = {"conv{}_kernel": "features.{}.weight",
+               "conv{}_bias": "features.{}.bias",
+               "bn{}_scale": "features.{}.weight",
+               "bn{}_bias": "features.{}.bias",
+               "bn{}_mean": "features.{}.running_mean",
+               "bn{}_var": "features.{}.running_var"}
+    for name in list(out):
+        idx = int("".join(c for c in name.split("_")[0] if c.isdigit()))
+        for pat, sd_pat in mapping.items():
+            if name == pat.format(idx):
+                w = np.asarray(sd[sd_pat.format(idx)])
+                if name.endswith("kernel"):
+                    w = w.transpose(2, 3, 1, 0)  # OIHW -> HWIO
+                assert w.shape == out[name].shape, (name, w.shape)
+                out[name] = jnp.asarray(w)
+    return out

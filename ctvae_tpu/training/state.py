@@ -5,16 +5,15 @@ This replaces the reference's PyTorch-Lightning ``VAEXperiment``
 function: forward -> loss -> grad -> optax update. Everything the
 reference does with Python-side mutable state (BatchNorm running stats,
 annealing counters, two optimizers for adversarial models, partial
-freezing via ``update_parameters``) is explicit state here, so the whole
-step compiles once under ``jax.jit`` and runs SPMD over a device mesh.
+freezing via ``update_parameters``, frozen feature networks) is explicit
+state here, so the whole step compiles once under ``jax.jit`` and runs
+SPMD over a device mesh.
 """
 
 from __future__ import annotations
 
-import dataclasses
 from typing import Any, Callable, Dict, Optional, Sequence, Tuple
 
-import flax
 import jax
 import jax.numpy as jnp
 import optax
@@ -28,6 +27,10 @@ Array = jax.Array
 class TrainState(struct.PyTreeNode):
     """All mutable training state as one pytree.
 
+    ``model_state`` holds every non-``params`` variable collection
+    (BatchNorm ``batch_stats``, frozen feature-network constants, ...);
+    only ``batch_stats`` is treated as mutable during the step.
+
     ``opt_states`` is a tuple to support adversarial models that train two
     parameter groups with two optimizers (reference FactorVAE,
     /root/reference/experiment.py:163-167); single-optimizer models use a
@@ -36,7 +39,7 @@ class TrainState(struct.PyTreeNode):
 
     step: Array                    # global step, drives annealing schedules
     params: Any
-    batch_stats: Any               # BatchNorm running stats ({} if none)
+    model_state: Dict[str, Any]    # non-params collections
     opt_states: Tuple[Any, ...]
     rng: Array                     # base PRNG key, folded with step each step
 
@@ -46,6 +49,10 @@ def model_rngs(base: Array, step: Array) -> Dict[str, Array]:
     key = jax.random.fold_in(base, step)
     keys = jax.random.split(key, len(RNG_STREAMS))
     return dict(zip(RNG_STREAMS, keys))
+
+
+def _batch_kwargs(batch: Dict[str, Array], keys: Sequence[str]) -> Dict[str, Array]:
+    return {k: batch[k] for k in keys if k in batch}
 
 
 def create_train_state(
@@ -59,15 +66,11 @@ def create_train_state(
     init_rngs = {"params": rng, **model_rngs(rng, jnp.array(0))}
     kwargs = _batch_kwargs(sample_batch, fwd_kwargs_keys)
     variables = model.init(init_rngs, sample_batch["image"], train=True, **kwargs)
-    params = variables["params"]
-    batch_stats = variables.get("batch_stats", {})
+    variables = dict(variables)
+    params = variables.pop("params")
     opt_states = tuple(tx.init(params) for tx in txs)
     return TrainState(step=jnp.array(0, jnp.int32), params=params,
-                      batch_stats=batch_stats, opt_states=opt_states, rng=rng)
-
-
-def _batch_kwargs(batch: Dict[str, Array], keys: Sequence[str]) -> Dict[str, Array]:
-    return {k: batch[k] for k in keys if k in batch}
+                      model_state=variables, opt_states=opt_states, rng=rng)
 
 
 def make_train_step(
@@ -84,8 +87,9 @@ def make_train_step(
     The reference passes ``M_N=kld_weight`` plus ``optimizer_idx`` /
     ``batch_idx`` into every ``loss_function``
     (/root/reference/experiment.py:51-54); here ``M_N`` and
-    ``optimizer_idx`` are compile-time constants of the step and the
-    annealing "batch_idx" role is played by ``state.step``.
+    ``optimizer_idx`` are compile-time constants of the step, and the
+    ``batch_idx`` role (annealing schedules) is played by ``state.step``,
+    which is also forwarded to the model as the ``step`` kwarg.
     """
     static_fwd_kwargs = dict(static_fwd_kwargs or {})
     tx = txs[optimizer_idx]
@@ -94,26 +98,25 @@ def make_train_step(
         rngs = model_rngs(state.rng, state.step)
         kwargs = _batch_kwargs(batch, fwd_kwargs_keys)
         kwargs.update(static_fwd_kwargs)
-        has_bn = bool(jax.tree_util.tree_leaves(state.batch_stats))
+        has_bn = "batch_stats" in state.model_state
 
         def loss_fn(params):
-            variables = {"params": params}
+            variables = {"params": params, **state.model_state}
             if has_bn:
-                variables["batch_stats"] = state.batch_stats
                 outputs, mutated = model.apply(
                     variables, batch["image"], train=True, rngs=rngs,
-                    mutable=["batch_stats"], **kwargs)
-                new_bs = mutated["batch_stats"]
+                    step=state.step, mutable=["batch_stats"], **kwargs)
+                new_ms = {**state.model_state, **mutated}
             else:
                 outputs = model.apply(variables, batch["image"], train=True,
-                                      rngs=rngs, **kwargs)
-                new_bs = state.batch_stats
+                                      rngs=rngs, step=state.step, **kwargs)
+                new_ms = state.model_state
             losses = model.loss_function(
-                outputs, M_N=M_N, step=state.step,
+                outputs, M_N=M_N, step=state.step, train=True,
                 optimizer_idx=optimizer_idx, rng=rngs["noise"])
-            return losses["loss"], (losses, new_bs)
+            return losses["loss"], (losses, new_ms)
 
-        (loss, (losses, new_bs)), grads = jax.value_and_grad(
+        (loss, (losses, new_ms)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params)
         updates, new_opt = tx.update(grads, state.opt_states[optimizer_idx],
                                      state.params)
@@ -122,9 +125,8 @@ def make_train_step(
             new_opt if i == optimizer_idx else s
             for i, s in enumerate(state.opt_states))
         new_state = state.replace(step=state.step + 1, params=new_params,
-                                  batch_stats=new_bs, opt_states=opt_states)
-        metrics = _split_scalars(losses)
-        return new_state, metrics
+                                  model_state=new_ms, opt_states=opt_states)
+        return new_state, _split_scalars(losses)
 
     return step_fn
 
@@ -144,25 +146,19 @@ def make_eval_step(
         rngs = model_rngs(state.rng, state.step + jnp.array(1 << 20, jnp.int32))
         kwargs = _batch_kwargs(batch, fwd_kwargs_keys)
         kwargs.update(static_fwd_kwargs)
-        variables = {"params": state.params}
-        if jax.tree_util.tree_leaves(state.batch_stats):
-            variables["batch_stats"] = state.batch_stats
+        variables = {"params": state.params, **state.model_state}
         outputs = model.apply(variables, batch["image"], train=False,
-                              rngs=rngs, **kwargs)
+                              rngs=rngs, step=state.step, **kwargs)
         losses = model.loss_function(outputs, M_N=M_N, step=state.step,
-                                     optimizer_idx=0, rng=rngs["noise"])
+                                     train=False, optimizer_idx=0,
+                                     rng=rngs["noise"])
         return _split_scalars(losses)
 
     return step_fn
 
 
 def _split_scalars(losses: Dict[str, Any]) -> Dict[str, Array]:
-    """Keep 0-d numeric entries plus small image-like diagnostics; drop
+    """Keep numeric entries (scalars plus image-like diagnostics); drop
     strings (the reference drops the ``mode`` key the same way,
     /root/reference/experiment.py:93-107)."""
-    out = {}
-    for k, v in losses.items():
-        if isinstance(v, str):
-            continue
-        out[k] = v
-    return out
+    return {k: v for k, v in losses.items() if not isinstance(v, str)}
