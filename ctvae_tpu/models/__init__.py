@@ -29,8 +29,15 @@ from .swae import SWAE
 from .vampvae import VampVAE
 from .vanilla_vae import VanillaVAE
 from .wae_mmd import WAE_MMD
+from .vq_vae import VQVAE
+from .mcq_vae import MCQVAE
+from .ct_vae import CausalTransition, CTMCQVAE
+from .quantizers import MultipleCodebookVectorQuantizer, VectorQuantizerMS
 
 vae_models = {
+    "VQVAE": VQVAE,
+    "MCQVAE": MCQVAE,
+    "CTMCQVAE": CTMCQVAE,
     "HVAE": HVAE,
     "LVAE": LVAE,
     "IWAE": IWAE,

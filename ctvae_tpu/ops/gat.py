@@ -1,0 +1,97 @@
+"""Dense GATv2 attention over weighted adjacency matrices — the TPU-native
+replacement for the reference's sparse torch-geometric pipeline
+(``dense_to_sparse`` + GATv2Conv stack, /root/reference/models/ct_mcq_vae.py:102-114,
+:211-214).
+
+Semantics matched to torch-geometric's GATv2Conv (v2.2, edge_dim=1,
+share_weights=False, concat=True, negative_slope=0.2):
+
+* an entry ``adj[s, t] != 0`` is a directed edge s -> t carrying its value
+  as a 1-dim edge feature,
+* per head h: ``e[s,t,h] = a_h . leaky_relu(Wl x_s + Wr x_t + We w_st)``,
+* attention is a softmax over the *incoming* edges of t only (non-edges
+  are excluded, exactly like the sparse edge list — not merely masked
+  post-softmax),
+* node t's output is the alpha-weighted sum of ``Wl x_s`` over sources,
+  concatenated across heads, plus a bias,
+* a node with no incoming edges gets bias only (PyG aggregates nothing).
+
+Dense masked attention maps straight onto the MXU/VPU: no scatter, no
+dynamic edge lists, fully batchable.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+
+class DenseGATv2Layer(nn.Module):
+    out_features: int
+    heads: int = 1
+    negative_slope: float = 0.2
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array, adj: Array) -> Array:
+        """x: [B, T, Fin], adj: [B, T, T] (adj[b, s, t] = edge s->t).
+        Returns [B, T, heads * out_features]."""
+        B, T, _ = x.shape
+        H, F = self.heads, self.out_features
+        xl = nn.Dense(H * F, name="lin_l", dtype=self.dtype)(x)
+        xr = nn.Dense(H * F, name="lin_r", dtype=self.dtype)(x)
+        xl = xl.reshape(B, T, H, F)
+        xr = xr.reshape(B, T, H, F)
+        # edge_dim=1: We maps the scalar weight to [H, F]
+        we = self.param("lin_edge", nn.initializers.lecun_normal(),
+                        (1, H * F), self.dtype).reshape(H, F)
+        att = self.param("att", nn.initializers.lecun_normal(), (H, F),
+                         self.dtype)
+        bias = self.param("bias", nn.initializers.zeros, (H * F,), self.dtype)
+
+        # pre-activation per (s, t, h, f); [B, S, T, H, F] materialized —
+        # fine at CT sizes (T <= a few hundred), and XLA fuses the einsum.
+        pre = (xl[:, :, None, :, :] + xr[:, None, :, :, :]
+               + adj[:, :, :, None, None].astype(self.dtype) * we)
+        logits = jnp.einsum("bsthf,hf->bsth",
+                            nn.leaky_relu(pre, self.negative_slope), att)
+
+        mask = (adj != 0)[:, :, :, None]                 # [B, S, T, 1]
+        neg = jnp.asarray(-1e30, logits.dtype)
+        logits = jnp.where(mask, logits, neg)
+        logits = logits - jax.lax.stop_gradient(
+            jnp.max(logits, axis=1, keepdims=True))
+        w = jnp.where(mask, jnp.exp(logits), 0.0)
+        denom = jnp.sum(w, axis=1, keepdims=True)        # over sources s
+        alpha = w / jnp.where(denom == 0, 1.0, denom)
+
+        out = jnp.einsum("bsth,bshf->bthf", alpha, xl)
+        return out.reshape(B, T, H * F) + bias
+
+
+class GATv2Stack(nn.Module):
+    """[GATv2 -> LeakyReLU(0.01)] * len(hidden) -> GATv2 (no activation).
+
+    Mirrors the reference ``graph_transitioner``
+    (/root/reference/models/ct_mcq_vae.py:102-114): hidden widths come from
+    ``latent_dims[1:]``, every layer has ``1 + action_dim`` heads, and the
+    final layer maps back to ``input_dim`` per head.
+    """
+
+    input_dim: int
+    hidden: Sequence[int]
+    heads: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array, adj: Array) -> Array:
+        for dim in self.hidden:
+            x = DenseGATv2Layer(dim, heads=self.heads, dtype=self.dtype)(x, adj)
+            x = nn.leaky_relu(x, negative_slope=0.01)
+        return DenseGATv2Layer(self.input_dim, heads=self.heads,
+                               dtype=self.dtype)(x, adj)

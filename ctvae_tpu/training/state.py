@@ -62,10 +62,23 @@ def create_train_state(
     txs: Sequence[optax.GradientTransformation],
     fwd_kwargs_keys: Sequence[str] = (),
 ) -> TrainState:
-    """Initialize parameters with a sample batch and build opt states."""
+    """Initialize parameters with a sample batch and build opt states.
+
+    The init itself is jitted — eager op-by-op initialization of a large
+    model dispatches thousands of tiny kernels on TPU (observed 150+ s
+    for CTMCQVAE; ~2 s jitted).
+    """
     init_rngs = {"params": rng, **model_rngs(rng, jnp.array(0))}
     kwargs = _batch_kwargs(sample_batch, fwd_kwargs_keys)
-    variables = model.init(init_rngs, sample_batch["image"], train=True, **kwargs)
+    kw_names = sorted(kwargs)
+
+    @jax.jit
+    def _init(rngs, image, *kw_values):
+        return model.init(rngs, image, train=True,
+                          **dict(zip(kw_names, kw_values)))
+
+    variables = _init(init_rngs, sample_batch["image"],
+                      *[kwargs[k] for k in kw_names])
     variables = dict(variables)
     params = variables.pop("params")
     opt_states = tuple(tx.init(params) for tx in txs)

@@ -1,0 +1,171 @@
+"""CT-VAE tests — dense GATv2 semantics, CausalTransition modes, CTMCQVAE
+training in all three batch modes, and the two-stage freezing recipe.
+The reference ships NO tests for any of this (SURVEY.md §4)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from ctvae_tpu.models import vae_models
+from ctvae_tpu.models.base import RNG_STREAMS
+from ctvae_tpu.models.ct_vae import CausalTransition, CTMCQVAE
+from ctvae_tpu.ops.gat import DenseGATv2Layer
+from ctvae_tpu.training import (build_optimizers, create_train_state,
+                                make_train_step)
+
+RNGS = {s: jax.random.PRNGKey(i + 7) for i, s in enumerate(RNG_STREAMS)}
+
+
+def _tree_diff(t1, t2) -> float:
+    diffs = jax.tree_util.tree_map(
+        lambda a, b: jnp.sum(jnp.abs(a - b)), t1, t2)
+    return float(jax.tree_util.tree_reduce(lambda acc, x: acc + x, diffs, 0.0))
+
+
+def _gatv2_numpy(params, x, adj, heads, out_f, slope=0.2):
+    """Edge-list evaluation of GATv2 with edge features == adj values —
+    the sparse semantics the dense layer must reproduce."""
+    Wl, bl = params["lin_l"]["kernel"], params["lin_l"]["bias"]
+    Wr, br = params["lin_r"]["kernel"], params["lin_r"]["bias"]
+    We = params["lin_edge"].reshape(heads, out_f)
+    att = params["att"]
+    bias = params["bias"]
+    B, T, _ = x.shape
+    out = np.zeros((B, T, heads * out_f), np.float32)
+    xl = (x @ Wl + bl).reshape(B, T, heads, out_f)
+    xr = (x @ Wr + br).reshape(B, T, heads, out_f)
+    for b in range(B):
+        for t in range(T):
+            srcs = [s for s in range(T) if adj[b, s, t] != 0]
+            for h in range(heads):
+                if not srcs:
+                    out[b, t, h * out_f:(h + 1) * out_f] = 0.0
+                    continue
+                logits = []
+                for s in srcs:
+                    pre = xl[b, s, h] + xr[b, t, h] + adj[b, s, t] * We[h]
+                    pre = np.where(pre > 0, pre, slope * pre)
+                    logits.append(att[h] @ pre)
+                logits = np.array(logits)
+                alpha = np.exp(logits - logits.max())
+                alpha /= alpha.sum()
+                msg = sum(a * xl[b, s, h] for a, s in zip(alpha, srcs))
+                out[b, t, h * out_f:(h + 1) * out_f] = msg
+    return out + bias
+
+
+def test_dense_gatv2_matches_sparse_semantics():
+    B, T, Fin, H, Fout = 2, 5, 6, 3, 4
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(B, T, Fin)).astype(np.float32)
+    adj = (rng.uniform(size=(B, T, T)) > 0.5).astype(np.float32) * \
+        rng.uniform(0.2, 1.0, size=(B, T, T)).astype(np.float32)
+    adj[0, :, 3] = 0.0  # a node with no incoming edges
+    layer = DenseGATv2Layer(out_features=Fout, heads=H)
+    variables = layer.init(jax.random.PRNGKey(0), jnp.asarray(x),
+                           jnp.asarray(adj))
+    got = np.asarray(layer.apply(variables, jnp.asarray(x), jnp.asarray(adj)))
+    p = jax.tree_util.tree_map(np.asarray, variables["params"])
+    expected = _gatv2_numpy(p, x, adj, H, Fout)
+    np.testing.assert_allclose(got, expected, atol=2e-5)
+
+
+def _ct_module():
+    return CausalTransition(input_dim=8, action_dim=4, latent_dims=(16, 8))
+
+
+def test_causal_transition_modes():
+    ct = _ct_module()
+    B, S, N = 2, 6, 8
+    one_hot = jax.nn.one_hot(
+        jnp.asarray(np.random.default_rng(0).integers(0, N, (B, S))), N)
+    variables = ct.init({"params": jax.random.PRNGKey(0), **RNGS}, one_hot)
+
+    y, reg, metrics = ct.apply(variables, one_hot, rngs=RNGS)
+    assert y.shape == (B, S, N)
+    np.testing.assert_allclose(np.asarray(jnp.sum(y, -1)), 1.0, atol=1e-5)
+    assert np.isfinite(float(reg))
+    assert metrics["ct_adjacency"].shape == (S, S)
+
+    action = jax.nn.one_hot(jnp.asarray([1, 3]), 4)
+    y2, reg2, m2 = ct.apply(variables, one_hot, action, rngs=RNGS,
+                            method=ct.forward_action)
+    assert y2.shape == (B, S, N)
+    assert np.isfinite(float(reg2))
+    assert m2["ct_mask"].shape == (S,)
+
+    probas, zero, _ = ct.apply(variables, one_hot, y2, rngs=RNGS,
+                               method=ct.forward_transition)
+    assert probas.shape == (B, 4)
+    np.testing.assert_allclose(np.asarray(jnp.sum(probas, -1)), 1.0,
+                               atol=1e-5)
+
+
+def _ct_model(**over):
+    kw = dict(in_channels=3, embedding_dim=8, action_dim=4,
+              num_embeddings=8, hidden_dims=(16, 32), img_size=16,
+              codebooks=2, causal_hidden_dims=(16, 8), gamma=1.5)
+    kw.update(over)
+    return CTMCQVAE(**kw)
+
+
+def _batch(mode, b=2, img=16):
+    rng = np.random.default_rng(0)
+    batch = {"image": jnp.asarray(rng.uniform(size=(b, img, img, 3))
+                                  .astype(np.float32))}
+    if mode != "base":
+        batch["input_y"] = jnp.asarray(rng.uniform(size=(b, img, img, 3))
+                                       .astype(np.float32))
+        onehot = np.zeros((b, 4), np.float32)
+        onehot[np.arange(b), rng.integers(0, 4, b)] = 1.0
+        batch["action"] = jnp.asarray(onehot)
+    return batch
+
+
+@pytest.mark.parametrize("mode", ["base", "action", "causal"])
+def test_ctmcqvae_modes_train(mode):
+    model = _ct_model()
+    batch = _batch(mode)
+    keys = ["action", "input_y"]
+    txs = [optax.adam(1e-3)]
+    state = create_train_state(model, jax.random.PRNGKey(0), batch, txs,
+                               fwd_kwargs_keys=keys)
+    step = jax.jit(make_train_step(model, txs, M_N=0.00025,
+                                   fwd_kwargs_keys=keys,
+                                   static_fwd_kwargs={"mode": mode}))
+    state2, metrics = step(state, batch)
+    assert np.isfinite(float(metrics["loss"])), (mode, metrics)
+    assert float(metrics["mode_id"]) == {"base": 0.0, "action": 1.0,
+                                         "causal": 2.0}[mode]
+    if mode == "causal":
+        assert 0.0 <= float(metrics["causal_acc"]) <= 1.0
+    else:
+        assert metrics["ct_adjacency"].ndim == 2
+
+
+def test_two_stage_freezing():
+    """The reference two-stage recipe: pretrain MCQ backbone, then train
+    only ``ct_layer`` via ``update_parameters``
+    (/root/reference/configs/ct_mcq_vae.yaml:38, experiment.py:157)."""
+    model = _ct_model()
+    batch = _batch("action")
+    keys = ["action", "input_y"]
+    dummy = [optax.adam(1e-3)]
+    state = create_train_state(model, jax.random.PRNGKey(0), batch, dummy,
+                               fwd_kwargs_keys=keys)
+    txs = build_optimizers({"LR": 1e-3, "update_parameters": "ct_layer"},
+                           state.params)
+    state = state.replace(opt_states=tuple(tx.init(state.params)
+                                           for tx in txs))
+    step = jax.jit(make_train_step(model, txs, M_N=0.00025,
+                                   fwd_kwargs_keys=keys,
+                                   static_fwd_kwargs={"mode": "action"}))
+    state2, _ = step(state, batch)
+    # encoder/decoder/vq frozen, ct_layer moved
+    for key in ["encoder", "decoder", "vq_layer"]:
+        assert _tree_diff(state.params[key], state2.params[key]) == 0.0, \
+            f"{key} should be frozen"
+    assert _tree_diff(state.params["ct_layer"],
+                      state2.params["ct_layer"]) > 0.0, "ct_layer should train"

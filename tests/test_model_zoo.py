@@ -76,10 +76,9 @@ def test_model_smoke(name, kwargs, extra):
     assert np.isfinite(float(metrics["loss"])), (name, metrics)
     assert "Reconstruction_Loss" in metrics
     # params actually changed
-    diff = jax.tree_util.tree_reduce(
-        lambda acc, p: acc + float(jnp.sum(jnp.abs(p[0] - p[1]))),
-        jax.tree_util.tree_map(lambda a, b: (a, b), state.params,
-                               state2.params), 0.0)
+    diffs = jax.tree_util.tree_map(
+        lambda a, b: jnp.sum(jnp.abs(a - b)), state.params, state2.params)
+    diff = float(jax.tree_util.tree_reduce(lambda a, x: a + x, diffs, 0.0))
     assert diff > 0.0, f"{name}: no parameter moved"
 
 
