@@ -1,0 +1,223 @@
+"""Native loaders for the disent-family factor datasets.
+
+The reference delegates to the ``disent`` library
+(/root/reference/datasets/disent_dataset.py:17-113) which downloads and
+wraps cars3d / dsprites / smallnorb / 3dshapes / sprites. This module
+reads the SAME canonical on-disk artifacts natively (no disent, no
+downloads — ``prepare`` is a no-op that just validates presence):
+
+* dsprites — ``dsprites_ndarray_co1sh3sc6or40x32y32_64x64.npz``
+* 3dshapes — ``3dshapes.h5`` (images uint8 [N,64,64,3], labels [N,6])
+* cars3d   — ``cars/*.mat`` (nips2015-analogy-data, 24x4 views per car)
+* smallnorb — the 4 ``*-{dat,cat,info}.mat`` binary matrices
+* sprites  — ``npy_tensor/*.npy`` frame tensors
+
+Every loader exposes the adapter surface the transition wrapper expects
+(``split`` / ``root`` / ``base_folder`` / ``indices``, reference
+transition.py:29-49), plus ``factors`` + ``factor_sizes`` for the
+disentanglement metrics and a vectorized ``get_batch``.
+
+Splits come from ``list_eval_partition.txt`` exactly like the reference
+(:56-66): rows of (_, index, split) with 0/1/2 = train/valid/test.
+"""
+
+from __future__ import annotations
+
+import csv
+import os
+from typing import Callable, Dict, List, Optional, Tuple
+
+import numpy as np
+
+from .transforms import StandardTransform
+
+FACTOR_NAMES = {
+    "cars3d": ("elevation", "azimuth", "object_type"),
+    "dsprites": ("shape", "scale", "orientation", "position_x", "position_y"),
+    "smallnorb": ("category", "instance", "elevation", "rotation", "lighting"),
+    "3dshapes": ("floor_hue", "wall_hue", "object_hue", "scale", "shape",
+                 "orientation"),
+    "sprites": ("bottomwear", "topwear", "hair", "eyes", "shoes", "body",
+                "action", "rotation", "frame"),
+}
+
+FACTOR_SIZES = {
+    "cars3d": (4, 24, 183),
+    "dsprites": (3, 6, 40, 32, 32),
+    "smallnorb": (5, 5, 9, 18, 6),
+    "3dshapes": (10, 10, 10, 8, 4, 15),
+    "sprites": (7, 7, 10, 5, 3, 4, 9, 4, 6),
+}
+
+
+def _load_split_csv(path: str) -> Tuple[List[int], List[int]]:
+    with open(path) as f:
+        rows = list(csv.reader(f))[1:]
+    return [int(r[1]) for r in rows], [int(r[2]) for r in rows]
+
+
+class ArrayFactorDataset:
+    """In-memory (or memmapped) images + integer factor labels."""
+
+    def __init__(self, images: np.ndarray, factors: np.ndarray,
+                 factor_sizes: Tuple[int, ...], data_dir: str,
+                 base_folder: str, split: str = "train",
+                 transform: Optional[Callable] = None):
+        self.images_raw = images
+        self.factors_all = factors.astype(np.int64)
+        self.factor_sizes = tuple(factor_sizes)
+        self.root = data_dir
+        self.base_folder = base_folder
+        self.split = split
+        self.transform = transform or StandardTransform(64)
+        # _full_data: the whole (unsplit) dataset, used by metrics
+        # (reference run.py:73 uses val_dataset.dataset._full_data).
+        self._full_data = self
+
+        split_file = os.path.join(data_dir, base_folder,
+                                  "list_eval_partition.txt")
+        n = len(images)
+        if split == "all" or not os.path.exists(split_file):
+            self.index_map = np.arange(n)
+        else:
+            idx, spl = _load_split_csv(split_file)
+            want = {"train": 0, "valid": 1, "test": 2}[split]
+            self.index_map = np.array(
+                [i for i, s in zip(idx, spl) if s == want], np.int64)
+        self.indices = [str(i) for i in self.index_map]
+
+    def __len__(self):
+        return len(self.index_map)
+
+    def _image(self, raw_idx: int) -> np.ndarray:
+        return self.transform(self.images_raw[raw_idx])
+
+    def __getitem__(self, idx: int):
+        raw = int(self.index_map[idx])
+        return self._image(raw), self.factors_all[raw]
+
+    def get_batch(self, idxs: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+        raws = self.index_map[np.asarray(idxs)]
+        imgs = np.stack([self._image(int(r)) for r in raws])
+        return imgs, self.factors_all[raws]
+
+    # -- metric support: sample observations for a given factor setting --
+    def factor_to_index(self, factors: np.ndarray) -> np.ndarray:
+        """Row-major factor tuple -> raw dataset index (the canonical
+        ordering all of these datasets use)."""
+        strides = np.cumprod((1,) + self.factor_sizes[::-1][:-1])[::-1]
+        return (np.asarray(factors) * strides).sum(-1).astype(np.int64)
+
+
+def _missing(path, name):
+    raise FileNotFoundError(
+        f"{name} artifact not found at {path}. Place the canonical dataset "
+        f"file(s) there (no network egress in this environment).")
+
+
+def load_dsprites(data_dir: str, split: str = "train",
+                  transform: Optional[Callable] = None, **kw):
+    folder = os.path.join(data_dir, "dsprites")
+    fname = "dsprites_ndarray_co1sh3sc6or40x32y32_64x64.npz"
+    path = os.path.join(folder, fname)
+    if not os.path.exists(path):
+        _missing(path, "dsprites")
+    z = np.load(path, allow_pickle=True, mmap_mode="r")
+    imgs = z["imgs"]                                  # [737280, 64, 64] uint8{0,1}
+    # latents_classes col 0 is the constant color factor; disent drops it.
+    factors = z["latents_classes"][:, 1:]
+    return ArrayFactorDataset(imgs * np.uint8(255), factors,
+                              FACTOR_SIZES["dsprites"], data_dir, "dsprites",
+                              split, transform)
+
+
+def load_shapes3d(data_dir: str, split: str = "train",
+                  transform: Optional[Callable] = None, **kw):
+    import h5py
+    folder = os.path.join(data_dir, "3dshapes")
+    path = os.path.join(folder, "3dshapes.h5")
+    if not os.path.exists(path):
+        _missing(path, "3dshapes")
+    f = h5py.File(path, "r")
+    imgs = f["images"]                                # uint8 [480000,64,64,3]
+    labels = f["labels"][:]                           # float [480000,6]
+    sizes = FACTOR_SIZES["3dshapes"]
+    factors = np.zeros((len(labels), 6), np.int64)
+    for i, n in enumerate(sizes):
+        vals = np.unique(labels[:, i])
+        factors[:, i] = np.searchsorted(vals, labels[:, i])
+    return ArrayFactorDataset(imgs, factors, sizes, data_dir, "3dshapes",
+                              split, transform)
+
+
+def load_cars3d(data_dir: str, split: str = "train",
+                transform: Optional[Callable] = None, **kw):
+    from scipy.io import loadmat
+    folder = os.path.join(data_dir, "cars3d", "cars")
+    if not os.path.isdir(folder):
+        _missing(folder, "cars3d")
+    mats = sorted(f for f in os.listdir(folder) if f.endswith(".mat"))
+    ims = []
+    for m in mats:
+        data = loadmat(os.path.join(folder, m))["im"]  # [128,128,3,24,4]
+        ims.append(data.transpose(4, 3, 0, 1, 2))      # [4,24,128,128,3]
+    arr = np.stack(ims)                                # [183,4,24,...]
+    arr = arr.transpose(1, 2, 0, 3, 4, 5)              # [4,24,183,...]
+    images = arr.reshape(-1, 128, 128, 3)
+    sizes = FACTOR_SIZES["cars3d"]
+    grid = np.indices(sizes).reshape(len(sizes), -1).T
+    return ArrayFactorDataset(images, grid, sizes, data_dir, "cars3d",
+                              split, transform)
+
+
+def _read_norb_matrix(path: str) -> np.ndarray:
+    """smallNORB custom binary matrix format."""
+    with open(path, "rb") as f:
+        magic = int.from_bytes(f.read(4), "little")
+        ndim = int.from_bytes(f.read(4), "little")
+        shape = [int.from_bytes(f.read(4), "little")
+                 for _ in range(max(ndim, 3))][:ndim]
+        dtype = {0x1E3D4C51: np.float32, 0x1E3D4C53: np.float64,
+                 0x1E3D4C54: np.int32, 0x1E3D4C55: np.uint8,
+                 0x1E3D4C56: np.int16}[magic]
+        return np.frombuffer(f.read(), dtype).reshape(shape)
+
+
+def load_smallnorb(data_dir: str, split: str = "train",
+                   transform: Optional[Callable] = None, **kw):
+    folder = os.path.join(data_dir, "smallnorb")
+    prefix = os.path.join(
+        folder, "smallnorb-5x46789x9x18x6x2x96x96-training")
+    dat_p = prefix + "-dat.mat"
+    if not os.path.exists(dat_p):
+        _missing(dat_p, "smallnorb")
+    dat = _read_norb_matrix(dat_p)[:, 0]               # first camera
+    cat = _read_norb_matrix(prefix + "-cat.mat")
+    info = _read_norb_matrix(prefix + "-info.mat")
+    factors = np.column_stack([cat, info[:, 0], info[:, 1], info[:, 2],
+                               info[:, 3]]).astype(np.int64)
+    order = np.lexsort(factors.T[::-1])
+    return ArrayFactorDataset(dat[order], factors[order],
+                              FACTOR_SIZES["smallnorb"], data_dir,
+                              "smallnorb", split, transform)
+
+
+def load_sprites(data_dir: str, split: str = "train",
+                 transform: Optional[Callable] = None, **kw):
+    folder = os.path.join(data_dir, "sprites")
+    path = os.path.join(folder, "sprites.npz")
+    if not os.path.exists(path):
+        _missing(path, "sprites")
+    z = np.load(path, mmap_mode="r")
+    return ArrayFactorDataset(z["images"], z["factors"],
+                              FACTOR_SIZES["sprites"], data_dir, "sprites",
+                              split, transform)
+
+
+DISENT_LOADERS = {
+    "cars3d": load_cars3d,
+    "dsprites": load_dsprites,
+    "smallnorb": load_smallnorb,
+    "3dshapes": load_shapes3d,
+    "sprites": load_sprites,
+}

@@ -1,0 +1,109 @@
+#!/usr/bin/env python
+"""Training entry point — ``python run.py -c configs/<x>.yaml``.
+
+Drop-in compatible with the reference CLI (/root/reference/run.py:21-110):
+the YAML schema is identical (``model_params`` / ``data_params`` /
+``exp_params`` / ``trainer_params`` / ``logging_params``); torch/
+Lightning-only knobs (``gpus``, ``num_workers``, ``pin_memory``,
+``find_unused_parameters``, ``retain_first_backpass``) are accepted and
+ignored — device placement is the SPMD mesh over every visible chip, and
+partial-parameter updates are optimizer masks, which need no DDP flags.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+import yaml
+
+
+def main():
+    parser = argparse.ArgumentParser(description="Generic runner for VAE models")
+    parser.add_argument("--config", "-c", dest="filename", metavar="FILE",
+                        help="path to the config file",
+                        default="configs/vae.yaml")
+    args = parser.parse_args()
+
+    with open(args.filename) as f:
+        config = yaml.safe_load(f)
+
+    # Imports after arg parsing so `-h` is instant.
+    import jax
+
+    from ctvae_tpu.data import VAEDataset
+    from ctvae_tpu.metrics import MetricSet
+    from ctvae_tpu.models import build_model
+    from ctvae_tpu.training import VAEXperiment
+    from ctvae_tpu.utils import CheckpointManager, ExperimentLogger
+
+    exp_params = config.get("exp_params", {})
+    trainer_params = dict(config.get("trainer_params", {}))
+    logging_params = config.get("logging_params", {})
+    model_params = config.get("model_params", {})
+    data_params = dict(config.get("data_params", {}))
+
+    seed = int(exp_params.get("manual_seed", 1265))
+    np.random.seed(seed)
+
+    logger = ExperimentLogger(
+        save_dir=logging_params.get("save_dir", "logs/"),
+        name=model_params.get("name", "model"),
+        use_wandb=bool(logging_params.get("use_wandb", False)),
+        hparams=config)
+    print(f"=> logging to {logger.log_dir}")
+
+    model = build_model(model_params)
+
+    data_params.setdefault("seed", seed)
+    data = VAEDataset(**data_params)
+    data.setup()
+
+    # Disentanglement metrics over the *raw factor* dataset, like the
+    # reference passes val_dataset._full_data (/root/reference/run.py:66-76).
+    metric_names = exp_params.get("metrics")
+    val_metrics = None
+    if metric_names:
+        full = getattr(data.val_dataset, "_full_data", data.val_dataset)
+        val_metrics = MetricSet(metric_names, full,
+                                batch_size=int(data_params.get(
+                                    "val_batch_size", 64)))
+
+    ckpt_dir = os.path.join(logger.log_dir, "checkpoints")
+    ckpt = CheckpointManager(ckpt_dir, top_k=2,
+                             monitor="val_Reconstruction_Loss")
+
+    experiment = VAEXperiment(model, exp_params, data, logger=logger,
+                              ckpt_manager=ckpt, val_metrics=val_metrics)
+
+    for sub in ("Inputs", "Samples", "Reconstructions"):
+        os.makedirs(os.path.join(logger.log_dir, sub), exist_ok=True)
+
+    first = next(iter(data.train_dataloader(0)))
+    experiment.setup(first, seed=seed)
+
+    resume = trainer_params.pop("resume_from_checkpoint", None)
+    weights_only = trainer_params.pop("load_weights_only", False)
+    if resume:
+        if weights_only:
+            experiment.load_weights(resume)
+            print(f"=> loaded weights (only) from {resume}")
+        else:
+            experiment.state = ckpt.restore(
+                jax.device_get(experiment.state), which=resume)
+            experiment.state = jax.device_put(experiment.state)
+            print(f"=> resumed full state from {resume}")
+
+    max_epochs = int(trainer_params.get("max_epochs", 100))
+    print(f"======= Training {model_params.get('name')} "
+          f"on {len(jax.devices())} device(s) =======")
+    final = experiment.fit(max_epochs, seed=seed,
+                           sample_dir=logger.log_dir)
+    logger.finish()
+    print({k: round(v, 5) for k, v in final.items()
+           if isinstance(v, float)})
+
+
+if __name__ == "__main__":
+    main()

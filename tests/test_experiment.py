@@ -1,0 +1,106 @@
+"""End-to-end orchestration tests: VAEXperiment fit/validate/checkpoint/
+weights-only restore on the synthetic dataset — the integration coverage
+the reference never had (SURVEY.md §4)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from ctvae_tpu.data import VAEDataset
+from ctvae_tpu.models import build_model
+from ctvae_tpu.training import VAEXperiment
+from ctvae_tpu.utils import CheckpointManager, ExperimentLogger
+from ctvae_tpu.utils.checkpoint import load_weights_only
+
+
+def _tiny_experiment(tmp_path, dataset="Synthetic", model_params=None,
+                     exp_params=None, logger=False):
+    model = build_model(model_params or {
+        "name": "VanillaVAE", "in_channels": 3, "latent_dim": 8,
+        "hidden_dims": [8, 16], "img_size": 16})
+    data = VAEDataset(data_path="", dataset_name=dataset,
+                      train_batch_size=16, val_batch_size=8,
+                      patch_size=16, n=96)
+    data.setup()
+    lg = ExperimentLogger(str(tmp_path), "t") if logger else None
+    ckpt = CheckpointManager(os.path.join(str(tmp_path), "ck"), top_k=2)
+    exp = VAEXperiment(model, exp_params or {"LR": 1e-3,
+                                             "kld_weight": 0.005},
+                       data, logger=lg, ckpt_manager=ckpt, log_every=1)
+    return exp, ckpt
+
+
+def test_fit_trains_and_checkpoints(tmp_path):
+    exp, ckpt = _tiny_experiment(tmp_path)
+    val = exp.fit(max_epochs=2)
+    assert "val_loss" in val and np.isfinite(val["val_loss"])
+    assert os.path.isdir(os.path.join(ckpt.dir, "last"))
+    with open(os.path.join(ckpt.dir, "index.json")) as f:
+        index = json.load(f)
+    assert len(index["best"]) >= 1
+    # best checkpoint tracks the minimum monitored score over all epochs
+    assert index["best"][0]["score"] <= val["val_Reconstruction_Loss"] + 1e-6
+
+
+def test_weights_only_restore_roundtrip(tmp_path):
+    exp, ckpt = _tiny_experiment(tmp_path)
+    exp.fit(max_epochs=1)
+    import jax
+    trained = jax.device_get(exp.state.params)
+
+    exp2, _ = _tiny_experiment(tmp_path / "b")
+    first = next(iter(exp2.data.train_dataloader(0)))
+    exp2.setup(first)
+    exp2.load_weights(os.path.join(ckpt.dir, "last"))
+    restored = jax.device_get(exp2.state.params)
+    leaves_a = jax.tree_util.tree_leaves(trained)
+    leaves_b = jax.tree_util.tree_leaves(restored)
+    assert len(leaves_a) == len(leaves_b)
+    for a, b in zip(leaves_a, leaves_b):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+def test_weights_only_partial_merge(tmp_path):
+    """Leaves missing from the checkpoint keep their fresh init — the
+    reference's strict=False semantics (run.py:88)."""
+    params = {"enc": {"w": np.zeros((2, 2), np.float32)},
+              "extra": {"w": np.full((3,), 7.0, np.float32)}}
+    import orbax.checkpoint as ocp
+    path = os.path.join(str(tmp_path), "w")
+    ocp.PyTreeCheckpointer().save(path, {"params": {
+        "enc": {"w": np.ones((2, 2), np.float32)},
+        "shape_mismatch": {"w": np.ones((9,), np.float32)}}})
+    merged = load_weights_only(path, params)
+    np.testing.assert_array_equal(merged["enc"]["w"], 1.0)
+    np.testing.assert_array_equal(merged["extra"]["w"], 7.0)
+
+
+def test_fit_transition_model_all_modes(tmp_path):
+    """CTMCQVAE through the full loop on TSynthetic: every batch mode
+    compiles and steps; val metrics come back finite."""
+    exp, _ = _tiny_experiment(
+        tmp_path, dataset="TSynthetic",
+        model_params={"name": "CTMCQVAE", "in_channels": 3,
+                      "embedding_dim": 8, "action_dim": 8,
+                      "num_embeddings": 8, "hidden_dims": [8, 16],
+                      "img_size": 16, "codebooks": 2,
+                      "causal_hidden_dims": [16, 8]},
+        exp_params={"LR": 1e-3, "kld_weight": 0.005,
+                    "update_parameters": "ct_layer"})
+    exp.data.train_batch_size = 8
+    exp.data.val_batch_size = 8
+    val = exp.fit(max_epochs=1)
+    assert np.isfinite(val["val_loss"])
+
+
+def test_logger_routes_scalars_and_images(tmp_path):
+    lg = ExperimentLogger(str(tmp_path), "route")
+    scalars = lg.log_all({"loss": np.float32(1.5),
+                          "ct_adjacency": np.random.rand(4, 4),
+                          "mode": "action"}, step=1)
+    assert scalars == {"loss": 1.5}
+    lg.finish()
+    files = os.listdir(lg.log_dir)
+    assert any(f.startswith("events") for f in files)

@@ -1,0 +1,59 @@
+"""Disentanglement metric sanity: a perfectly disentangled representation
+must score near 1 (DCI/MIG/FactorVAE) and far above a random one."""
+
+import numpy as np
+import pytest
+
+from ctvae_tpu.data.disent_data import ArrayFactorDataset
+from ctvae_tpu.data.transforms import StandardTransform
+from ctvae_tpu.metrics import GroundTruthSampler, Metric, MetricSet
+
+
+def _grid_dataset():
+    sizes = (4, 4, 4)
+    grid = np.indices(sizes).reshape(3, -1).T          # [64, 3] row-major
+    # image pixel values deterministically encode the factors
+    imgs = np.zeros((len(grid), 8, 8, 1), np.float32)
+    imgs[:, 0, 0, 0] = grid[:, 0] / 4.0
+    imgs[:, 0, 1, 0] = grid[:, 1] / 4.0
+    imgs[:, 0, 2, 0] = grid[:, 2] / 4.0
+    return ArrayFactorDataset(imgs, grid, sizes, data_dir="/nonexistent",
+                              base_folder="x", split="all",
+                              transform=lambda im: im)
+
+
+def _perfect_repr(x):
+    # read the factors straight out of the pixels + tiny noise
+    z = x[:, 0, :3, 0] * 4.0
+    return z + np.random.default_rng(0).normal(0, 0.01, z.shape)
+
+
+def _random_repr(x):
+    return np.random.default_rng(1).normal(size=(x.shape[0], 3))
+
+
+def test_perfect_representation_scores_high():
+    ds = _grid_dataset()
+    sampler = GroundTruthSampler(ds, rng=np.random.default_rng(0))
+    m = MetricSet(["DCI", "MIG", "SAP", "FactorVaeScore"], sampler,
+                  batch_size=32, num_train=400, num_test=200)
+    res = m.compute(_perfect_repr)
+    assert res["dci.disentanglement"] > 0.8, res
+    assert res["mig.discrete_score"] > 0.6, res
+    assert res["factor_vae.mean_accuracy"] > 0.8, res
+    assert res["sap.score"] > 0.3, res
+
+
+def test_random_representation_scores_low():
+    ds = _grid_dataset()
+    sampler = GroundTruthSampler(ds, rng=np.random.default_rng(0))
+    res = Metric("MIG", sampler, batch_size=32, num_train=400).compute(
+        _random_repr)
+    assert res["mig.discrete_score"] < 0.2, res
+
+
+def test_factor_to_index_row_major():
+    ds = _grid_dataset()
+    f = np.array([[1, 2, 3], [0, 0, 0], [3, 3, 3]])
+    idx = ds.factor_to_index(f)
+    np.testing.assert_array_equal(idx, [1 * 16 + 2 * 4 + 3, 0, 63])
