@@ -98,9 +98,14 @@ def l2_argmin_pallas(flat: Array, codebook: Array,
 
 import os
 
-# The Pallas kernel is opt-in while its Mosaic compile behavior on large
-# codebooks is under investigation (pathological compile times observed on
-# v5e for K >= 512); the XLA path is already MXU-bound and fully fused.
+# The Pallas kernel is opt-in: on the current v5e AOT toolchain Mosaic
+# either over-allocates scoped VMEM for the whole grid at once (OOM at
+# TILE_N=1024: "93-106M > 16M limit") or hangs in compilation for smaller
+# tiles (128/256 with K>=512, reproduced 2026-08-16 incl. with raised
+# vmem_limit_bytes + arbitrary dimension_semantics). The XLA formulation
+# below compiles to the same MXU matmul with the argmin fused into the
+# epilogue and is not a measurable fraction of any model's step time, so
+# it stays the default until the toolchain issue is fixed.
 _USE_PALLAS_VQ = os.environ.get("CTVAE_PALLAS_VQ", "0") == "1"
 
 

@@ -33,7 +33,7 @@ import numpy as np
 
 from ..models.base import BaseVAE, RNG_STREAMS
 from ..parallel.mesh import make_mesh, replicated, shard_batch
-from .optimizers import build_optimizers
+from .optimizers import build_lr_schedules, build_optimizers
 from .state import TrainState, create_train_state, make_eval_step, make_train_step
 
 FWD_KEYS = ("labels", "action", "input_y")
@@ -82,6 +82,7 @@ class VAEXperiment:
                                    fwd_kwargs_keys=FWD_KEYS)
         self.txs = build_optimizers(self.params, state.params,
                                     steps_per_epoch)
+        self.lr_schedules = build_lr_schedules(self.params, steps_per_epoch)
         opt_states = tuple(tx.init(state.params) for tx in self.txs)
         self.state = state.replace(opt_states=opt_states)
         self.state = jax.device_put(self.state, replicated(self.mesh))
@@ -139,8 +140,12 @@ class VAEXperiment:
             count += 1
             if self.logger is not None and \
                     self.global_step % self.log_every == 0:
-                scalars = self.logger.log_all(
-                    jax.device_get(metrics), self.global_step)
+                logged = dict(jax.device_get(metrics))
+                for i, sched in enumerate(self.lr_schedules):
+                    suffix = "" if i == 0 else f"_{i + 1}"
+                    logged[f"lr{suffix}"] = np.float32(
+                        sched(self.global_step))
+                scalars = self.logger.log_all(logged, self.global_step)
                 for k, v in scalars.items():
                     running[k] = running.get(k, 0.0) + v
         host = {k: float(v) for k, v in jax.device_get(metrics).items()
@@ -175,9 +180,17 @@ class VAEXperiment:
         if self.state is None:
             first = next(iter(self.data.train_dataloader(0)))
             self.setup(first, seed=seed)
+        # `exp_params.profile: <dir>` captures a device trace of epoch 0
+        # (TensorBoard-viewable) — the observability upgrade over the
+        # reference's torchviz graph dump (SURVEY.md §5).
+        profile_dir = self.params.get("profile")
         val = {}
         for epoch in range(max_epochs):
+            if profile_dir and epoch == 0:
+                jax.profiler.start_trace(str(profile_dir))
             train_metrics = self.train_epoch(epoch)
+            if profile_dir and epoch == 0:
+                jax.profiler.stop_trace()
             val = self.validate(epoch)
             if sample_dir is not None:
                 try:

@@ -44,6 +44,25 @@ def _adam(lr: float, weight_decay: float, gamma: Optional[float],
     return optax.adam(schedule)
 
 
+def build_lr_schedules(exp_params: Dict[str, Any],
+                       steps_per_epoch: int = 1) -> List[Any]:
+    """Step -> learning-rate callables mirroring ``build_optimizers``'s
+    schedules, for observability (the reference attaches a
+    ``LearningRateMonitor`` callback, /root/reference/run.py:93)."""
+    def sched(lr, gamma):
+        if gamma is None:
+            return lambda step: lr
+        return optax.exponential_decay(
+            init_value=lr, transition_steps=max(1, steps_per_epoch),
+            decay_rate=gamma, staircase=True)
+    out = [sched(exp_params.get("LR", 1e-3),
+                 exp_params.get("scheduler_gamma"))]
+    if exp_params.get("LR_2") is not None:
+        out.append(sched(exp_params["LR_2"],
+                         exp_params.get("scheduler_gamma_2")))
+    return out
+
+
 def build_optimizers(
     exp_params: Dict[str, Any],
     params: Any,
