@@ -61,13 +61,33 @@ class MyCelebA:
     def __len__(self):
         return len(self.filename)
 
+    def _path(self, name: str) -> str:
+        return os.path.join(self.root, self.base_folder,
+                            "img_align_celeba", name)
+
     def __getitem__(self, idx: int):
         name = self.filename[idx]
-        path = os.path.join(self.root, self.base_folder,
-                            "img_align_celeba", name)
-        img = np.asarray(Image.open(path).convert("RGB"))
+        img = np.asarray(Image.open(self._path(name)).convert("RGB"))
         label = self.attr.get(name, np.zeros(40, np.float32))
         return self.transform(img), label
+
+    def get_batch(self, idxs):
+        """Vectorized fetch: fused native JPEG decode + crop + resize
+        (threaded, see ctvae_tpu/native) with a PIL fallback."""
+        from .. import native
+        names = [self.filename[int(i)] for i in idxs]
+        labels = np.stack([self.attr.get(n, np.zeros(40, np.float32))
+                           for n in names])
+        if native.available() and isinstance(self.transform,
+                                             StandardTransform):
+            imgs = native.load_jpeg_batch(
+                [self._path(n) for n in names], self.transform.crop,
+                self.transform.patch_size)
+            return imgs, labels
+        imgs = np.stack([self.transform(
+            np.asarray(Image.open(self._path(n)).convert("RGB")))
+            for n in names])
+        return imgs, labels
 
 
 def TCeleba(data_dir: str, split: str = "train",

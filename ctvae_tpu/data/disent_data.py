@@ -98,6 +98,10 @@ class ArrayFactorDataset:
 
     def get_batch(self, idxs: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
         raws = self.index_map[np.asarray(idxs)]
+        if isinstance(self.transform, StandardTransform):
+            raw_imgs = np.stack([np.asarray(self.images_raw[int(r)])
+                                 for r in raws])
+            return self.transform.batch(raw_imgs), self.factors_all[raws]
         imgs = np.stack([self._image(int(r)) for r in raws])
         return imgs, self.factors_all[raws]
 

@@ -73,4 +73,10 @@ class StandardTransform:
         return resize(img, self.patch_size)
 
     def batch(self, imgs: np.ndarray) -> np.ndarray:
+        """Batched transform; uses the threaded C++ kernel when built
+        (ctvae_tpu/native), identical output to the per-image path."""
+        from .. import native
+        if native.available() and imgs.ndim in (3, 4):
+            return native.crop_resize_batch(imgs, self.crop,
+                                            self.patch_size)
         return np.stack([self(im) for im in imgs])

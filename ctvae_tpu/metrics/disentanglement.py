@@ -42,9 +42,12 @@ class GroundTruthSampler:
     def observations_from_factors(self, factors: Array) -> Array:
         if self._grid:
             raw = self.ds.factor_to_index(factors)
-            imgs = np.stack([self.ds.transform(self.ds.images_raw[int(i)])
+            if hasattr(self.ds.transform, "batch"):
+                raws = np.stack([np.asarray(self.ds.images_raw[int(i)])
+                                 for i in raw])
+                return self.ds.transform.batch(raws)
+            return np.stack([self.ds.transform(self.ds.images_raw[int(i)])
                              for i in raw])
-            return imgs
         raise NotImplementedError("fixed-factor sampling needs a grid dataset")
 
     def sample(self, n: int) -> Tuple[Array, Array]:

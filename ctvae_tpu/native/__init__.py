@@ -1,0 +1,132 @@
+"""Native (C++) input-pipeline acceleration, bound via ctypes.
+
+Compiles ``transform_kernels.cpp`` on first use into
+``libctvae_native.so`` (cached; rebuilt when the source is newer) and
+exposes:
+
+* ``crop_resize_batch(images, crop, out_hw)`` — uint8/float32 NHWC batch
+  -> float32 NHWC in [0,1], fused center-crop(+pad) and PIL-compatible
+  antialiased bilinear resize, threaded over the batch,
+* ``load_jpeg_batch(paths, crop, out_hw)`` — fused libjpeg decode +
+  crop + resize for file-backed datasets (CelebA).
+
+``available()`` reports whether the library built; every caller in
+``ctvae_tpu.data`` falls back to the PIL path when it did not (e.g. no
+compiler in the deployment image). Set ``CTVAE_NATIVE=0`` to force the
+fallback.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Optional, Sequence, Tuple, Union
+
+import numpy as np
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_DIR, "transform_kernels.cpp")
+_LIB_PATH = os.path.join(_DIR, "libctvae_native.so")
+
+_lib = None
+_tried = False
+
+
+def _default_threads() -> int:
+    return max(1, (os.cpu_count() or 1))
+
+
+def _build() -> Optional[str]:
+    if os.path.exists(_LIB_PATH) and \
+            os.path.getmtime(_LIB_PATH) >= os.path.getmtime(_SRC):
+        return _LIB_PATH
+    cmd = ["g++", "-O3", "-fPIC", "-shared", "-std=c++17",
+           "-march=native", _SRC, "-o", _LIB_PATH, "-ljpeg", "-lpthread"]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=180)
+        return _LIB_PATH
+    except Exception:
+        return None
+
+
+def _load():
+    global _lib, _tried
+    if _tried:
+        return _lib
+    _tried = True
+    if os.environ.get("CTVAE_NATIVE", "1") == "0":
+        return None
+    path = _build()
+    if path is None:
+        return None
+    try:
+        lib = ctypes.CDLL(path)
+        lib.ctvae_crop_resize_u8.argtypes = [
+            ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_void_p, ctypes.c_int]
+        lib.ctvae_crop_resize_f32.argtypes = lib.ctvae_crop_resize_u8.argtypes
+        lib.ctvae_load_jpeg_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_void_p, ctypes.c_int]
+        lib.ctvae_load_jpeg_batch.restype = ctypes.c_int
+        _lib = lib
+    except OSError:
+        _lib = None
+    return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def crop_resize_batch(images: np.ndarray, crop: Optional[int],
+                      out_hw: Union[int, Tuple[int, int]],
+                      n_threads: Optional[int] = None) -> np.ndarray:
+    """[N,H,W,C] uint8 or float32 -> [N,out_h,out_w,C] float32 in [0,1]."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    if isinstance(out_hw, int):
+        out_hw = (out_hw, out_hw)
+    out_h, out_w = out_hw
+    images = np.ascontiguousarray(images)
+    if images.ndim == 3:
+        images = images[..., None]
+    n, h, w, c = images.shape
+    out = np.empty((n, out_h, out_w, c), np.float32)
+    nt = n_threads or _default_threads()
+    crop_v = int(crop) if crop else 0
+    if images.dtype == np.uint8:
+        lib.ctvae_crop_resize_u8(
+            images.ctypes.data, n, h, w, c, crop_v, out_h, out_w,
+            out.ctypes.data, nt)
+    else:
+        images = images.astype(np.float32, copy=False)
+        lib.ctvae_crop_resize_f32(
+            images.ctypes.data, n, h, w, c, crop_v, out_h, out_w,
+            out.ctypes.data, nt)
+    return out
+
+
+def load_jpeg_batch(paths: Sequence[str], crop: Optional[int],
+                    out_hw: Union[int, Tuple[int, int]],
+                    n_threads: Optional[int] = None) -> np.ndarray:
+    """JPEG files -> [N,out_h,out_w,3] float32 in [0,1] (decode + crop +
+    resize fused, threaded). Raises on any decode failure."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    if isinstance(out_hw, int):
+        out_hw = (out_hw, out_hw)
+    out_h, out_w = out_hw
+    n = len(paths)
+    out = np.empty((n, out_h, out_w, 3), np.float32)
+    arr = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+    failures = lib.ctvae_load_jpeg_batch(
+        arr, n, int(crop) if crop else 0, out_h, out_w, out.ctypes.data,
+        n_threads or _default_threads())
+    if failures:
+        raise IOError(f"{failures}/{n} JPEG files failed to decode")
+    return out

@@ -1,0 +1,74 @@
+"""Native C++ input-pipeline kernels vs the PIL reference path."""
+
+import os
+
+import numpy as np
+import pytest
+
+from ctvae_tpu import native
+from ctvae_tpu.data.transforms import StandardTransform
+
+pytestmark = pytest.mark.skipif(not native.available(),
+                                reason="native library did not build")
+
+
+def _pil_ref(imgs, crop, patch):
+    t = StandardTransform(patch, crop=crop)
+    return np.stack([t(im) for im in imgs])
+
+
+def test_crop_resize_matches_pil_downscale():
+    rng = np.random.default_rng(0)
+    imgs = rng.integers(0, 255, (8, 218, 178, 3)).astype(np.uint8)
+    out = native.crop_resize_batch(imgs, 148, 64)
+    ref = _pil_ref(imgs, 148, 64)
+    assert out.shape == (8, 64, 64, 3)
+    # PIL rounds through uint8 between crop and resize; the native path
+    # stays float, so agreement is ~1 LSB of uint8.
+    assert np.abs(out - ref).max() < 2.0 / 255.0
+
+
+def test_crop_resize_pad_path_grayscale():
+    rng = np.random.default_rng(1)
+    imgs = rng.integers(0, 255, (4, 64, 64, 1)).astype(np.uint8)
+    out = native.crop_resize_batch(imgs, 148, 64)
+    ref = _pil_ref(imgs, 148, 64)
+    assert np.abs(out - ref).max() < 2.0 / 255.0
+
+
+def test_crop_resize_float_input_identity():
+    rng = np.random.default_rng(2)
+    imgs = rng.uniform(size=(3, 32, 32, 3)).astype(np.float32)
+    out = native.crop_resize_batch(imgs, None, 32)
+    np.testing.assert_allclose(out, imgs, atol=1e-6)
+
+
+def test_load_jpeg_batch(tmp_path):
+    from PIL import Image
+    rng = np.random.default_rng(3)
+    paths = []
+    for i in range(6):
+        arr = rng.integers(0, 255, (218, 178, 3)).astype(np.uint8)
+        p = str(tmp_path / f"{i}.jpg")
+        Image.fromarray(arr).save(p, quality=95)
+        paths.append(p)
+    out = native.load_jpeg_batch(paths, 148, 64)
+    t = StandardTransform(64, crop=148)
+    ref = np.stack([t(np.asarray(Image.open(p).convert("RGB")))
+                    for p in paths])
+    assert np.abs(out - ref).max() < 2.0 / 255.0
+
+
+def test_load_jpeg_batch_raises_on_missing(tmp_path):
+    with pytest.raises(IOError):
+        native.load_jpeg_batch([str(tmp_path / "missing.jpg")], 148, 64)
+
+
+def test_transform_batch_uses_native():
+    rng = np.random.default_rng(4)
+    imgs = rng.integers(0, 255, (5, 100, 90, 3)).astype(np.uint8)
+    t = StandardTransform(48, crop=80)
+    out = t.batch(imgs)
+    ref = np.stack([t(im) for im in imgs])
+    assert out.shape == ref.shape == (5, 48, 48, 3)
+    assert np.abs(out - ref).max() < 2.0 / 255.0
