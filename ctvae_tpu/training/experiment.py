@@ -122,20 +122,21 @@ class VAEXperiment:
 
     def train_epoch(self, epoch: int) -> Dict[str, float]:
         assert self.state is not None, "call setup() first"
+        from ..data.prefetch import prefetch_to_device
+
         n_opt = len(self.txs)
         running: Dict[str, float] = {}
         count = 0
         t0 = time.perf_counter()
         images = 0
-        for batch in self.data.train_dataloader(epoch):
-            mode = batch.get("mode", "base")
-            sbatch = shard_batch(
-                {k: jnp.asarray(v) for k, v in batch.items()
-                 if not isinstance(v, str)}, self.mesh)
+        for batch in prefetch_to_device(self.data.train_dataloader(epoch),
+                                        self.mesh):
+            mode = batch.pop("mode", "base")
+            sbatch = batch
             for opt_idx in range(n_opt):
                 step = self._train_step(mode, opt_idx)
                 self.state, metrics = step(self.state, sbatch)
-            images += int(batch["image"].shape[0])
+            images += int(sbatch["image"].shape[0])
             self.global_step += 1
             count += 1
             if self.logger is not None and \
@@ -157,12 +158,11 @@ class VAEXperiment:
     def validate(self, epoch: int) -> Dict[str, float]:
         sums: Dict[str, float] = {}
         counts: Dict[str, int] = {}
-        for batch in self.data.val_dataloader(epoch):
-            mode = batch.get("mode", "base")
-            sbatch = shard_batch(
-                {k: jnp.asarray(v) for k, v in batch.items()
-                 if not isinstance(v, str)}, self.mesh)
-            metrics = self._eval_step(mode)(self.state, sbatch)
+        from ..data.prefetch import prefetch_to_device
+        for batch in prefetch_to_device(self.data.val_dataloader(epoch),
+                                        self.mesh):
+            mode = batch.pop("mode", "base")
+            metrics = self._eval_step(mode)(self.state, batch)
             for k, v in jax.device_get(metrics).items():
                 if np.ndim(v) == 0:
                     sums[k] = sums.get(k, 0.0) + float(v)
