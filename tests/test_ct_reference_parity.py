@@ -1,0 +1,205 @@
+"""CT-VAE numerical parity vs the reference CausalTransition on CPU.
+
+The reference's GNN needs torch-geometric (unavailable), but everything
+else — the pairwise graph-discoverer, the intervention mask's sigmoid
+pre-activation, and the deterministic regularizers — is pure torch and
+is compared here with transplanted weights. This pins the factorized
+TPU pairwise scorer (ctvae_tpu/ops/pairwise.py splits the concat-MLP
+first layer into Wl x_s + Wr x_t) against the reference's materialized
+[B, S*S, 2N] formulation (/root/reference/models/ct_mcq_vae.py:140-174).
+"""
+
+import sys
+import types
+
+import numpy as np
+import pytest
+
+REF = "/root/reference"
+
+torch = pytest.importorskip("torch")
+
+
+@pytest.fixture(scope="module")
+def ref_ct_module():
+    import os
+    if not os.path.isdir(REF):
+        pytest.skip("reference checkout not available")
+    for name in ["torchvision", "torchvision.models",
+                 "torch_geometric", "torch_geometric.nn",
+                 "torch_geometric.utils"]:
+        if name not in sys.modules:
+            sys.modules[name] = types.ModuleType(name)
+    sys.modules["torchvision"].models = sys.modules["torchvision.models"]
+    sys.modules["torchvision.models"].vgg19_bn = \
+        lambda *a, **k: (_ for _ in ()).throw(RuntimeError("stub"))
+
+    class _FakeConv(torch.nn.Module):
+        def __init__(self, *a, **k):
+            super().__init__()
+
+    gnn = sys.modules["torch_geometric.nn"]
+    gnn.GATv2Conv = _FakeConv
+    gnn.GATConv = _FakeConv
+    gnn.Sequential = lambda *a, **k: torch.nn.Identity()
+    sys.modules["torch_geometric.utils"].dense_to_sparse = None
+    sys.path.insert(0, REF)
+    try:
+        import importlib
+        yield importlib.import_module("models.ct_mcq_vae")
+    finally:
+        sys.path.remove(REF)
+
+
+def _build_pair(ref_ct_module, N=6, A=4, H=16, seed=0):
+    """Reference CausalTransition + our params dict with copied weights."""
+    import jax.numpy as jnp
+    from ctvae_tpu.models.ct_vae import CausalTransition
+
+    ref = ref_ct_module.CausalTransition(
+        input_dim=N, action_dim=A, latent_dims=[H, 8])
+    ref.eval()
+
+    ours = CausalTransition(input_dim=N, action_dim=A,
+                            latent_dims=(H, 8), max_len=64)
+    import jax
+    rng = jax.random.PRNGKey(seed)
+    lat0 = jnp.zeros((2, 5, N))
+    variables = ours.init(
+        {"params": rng, **{s: jax.random.fold_in(rng, i) for i, s in
+                           enumerate(("reparam", "gumbel", "noise", "dropout"))}},
+        lat0, train=False)
+    params = dict(variables["params"])
+
+    w1l = np.zeros((A + 1, N, H), np.float32)
+    w1r = np.zeros((A + 1, N, H), np.float32)
+    b1 = np.zeros((A + 1, H), np.float32)
+    w2 = np.zeros((A + 1, H, 1), np.float32)
+    b2 = np.zeros((A + 1, 1), np.float32)
+    for i, disc in enumerate(ref.graph_discovers):
+        lin1, lin2 = disc[0], disc[2]
+        W = lin1.weight.detach().numpy()          # [H, 2N]
+        w1l[i] = W[:, :N].T
+        w1r[i] = W[:, N:].T
+        b1[i] = lin1.bias.detach().numpy()
+        w2[i] = lin2.weight.detach().numpy().T    # [H, 1]
+        b2[i] = lin2.bias.detach().numpy()
+    params["disc_w1l"] = jnp.asarray(w1l)
+    params["disc_w1r"] = jnp.asarray(w1r)
+    params["disc_b1"] = jnp.asarray(b1)
+    params["disc_w2"] = jnp.asarray(w2)
+    params["disc_b2"] = jnp.asarray(b2)
+
+    mask_lin = ref.mask[0]
+    params["mask_kernel"] = jnp.asarray(mask_lin.weight.detach().numpy().T)
+    params["mask_bias"] = jnp.asarray(mask_lin.bias.detach().numpy())
+    return ref, ours, {"params": params}
+
+
+def test_compute_adj_parity(ref_ct_module):
+    """Factorized pairwise scorer == reference concat-MLP, per-sample
+    action-selected discoverer, mask mixing, both comp and mem paths."""
+    import jax
+    import jax.numpy as jnp
+
+    N, A, H, B, S = 6, 4, 16, 3, 5
+    ref, ours, variables = _build_pair(ref_ct_module, N, A, H)
+    rng = np.random.default_rng(1)
+    lat = rng.normal(size=(B, S, N)).astype(np.float32)
+    action = np.eye(A, dtype=np.float32)[rng.integers(0, A, B)]
+    mask = (rng.uniform(size=(B, S, 1)) > 0.5).astype(np.float32)
+
+    t_lat = torch.from_numpy(lat)
+    t_act = torch.from_numpy(action)
+    t_mask = torch.from_numpy(mask)
+    with torch.no_grad():
+        r_comp = ref._compute_adj__comp_optim(t_lat, t_act, t_mask).numpy()
+        r_mem = ref._compute_adj__mem_optim(t_lat, t_act, t_mask).numpy()
+    np.testing.assert_allclose(r_comp, r_mem, rtol=1e-5, atol=1e-6)
+
+    o = ours.apply(variables, jnp.asarray(lat), jnp.asarray(action),
+                   jnp.asarray(mask), method=ours._compute_adj)
+    np.testing.assert_allclose(np.asarray(o), r_comp, rtol=1e-4, atol=1e-5)
+
+    # blockwise path (the Pallas-style tiling knob) must be identical
+    ours_blocked = ours.clone(pairwise_block_rows=2)
+    ob = ours_blocked.apply(variables, jnp.asarray(lat),
+                            jnp.asarray(action), jnp.asarray(mask),
+                            method=ours_blocked._compute_adj)
+    np.testing.assert_allclose(np.asarray(ob), r_comp, rtol=1e-4, atol=1e-5)
+
+
+def test_mask_preactivation_parity(ref_ct_module):
+    """The sigmoid mask scores (before Gumbel sampling) must match:
+    sigmoid(Linear([action || pos_embed]))."""
+    import jax
+    import jax.numpy as jnp
+
+    N, A, H, B, S = 6, 4, 16, 3, 5
+    ref, ours, variables = _build_pair(ref_ct_module, N, A, H, seed=2)
+    rng = np.random.default_rng(3)
+    one_hot = np.eye(N, dtype=np.float32)[
+        rng.integers(0, N, (B, S))]
+    action = np.eye(A, dtype=np.float32)[rng.integers(0, A, B)]
+
+    with torch.no_grad():
+        t_act = torch.from_numpy(action).unsqueeze(1).repeat(1, S, 1)
+        pos = ref.pos_encoding(torch.zeros((B, S, N)))
+        inter_mask = ref.mask(torch.concat([t_act, pos], dim=-1))
+        r_scores = (torch.from_numpy(one_hot) * inter_mask).sum(-1).numpy()
+
+    def _scores(m, lat, act):
+        a_rep = jnp.repeat(act[:, None, :], lat.shape[1], axis=1)
+        pos_embed = m.pos_encoding(jnp.zeros_like(lat), train=False)
+        import jax.nn
+        pre = jnp.concatenate([a_rep, pos_embed], -1) @ m.mask_kernel \
+            + m.mask_bias
+        return jnp.sum(lat * jax.nn.sigmoid(pre), axis=-1)
+
+    o_scores = ours.apply(variables, jnp.asarray(one_hot),
+                          jnp.asarray(action), method=_scores)
+    np.testing.assert_allclose(np.asarray(o_scores), r_scores, rtol=1e-4,
+                               atol=1e-5)
+
+
+def test_regularizer_parity(ref_ct_module):
+    """graph_size and positive_trial are deterministic — exact match.
+    (adjacency_KL uses internal random targets on both sides; excluded.)"""
+    import jax.numpy as jnp
+    from ctvae_tpu.models.ct_vae import CausalTransition
+
+    rng = np.random.default_rng(4)
+    adj = rng.uniform(0.05, 0.95, size=(3, 5, 5)).astype(np.float32)
+    graph = (adj > 0.5).astype(np.float32)
+    ref = ref_ct_module.CausalTransition(input_dim=4, action_dim=2,
+                                         latent_dims=[8, 4])
+    with torch.no_grad():
+        r_size = float(ref.graph_size_loss(torch.from_numpy(graph)))
+        r_pos = float(ref.positive_trial_loss(torch.from_numpy(adj)))
+    o_size = float(CausalTransition.graph_size_loss(jnp.asarray(graph)))
+    o_pos = float(CausalTransition.positive_trial_loss(jnp.asarray(adj)))
+    np.testing.assert_allclose(o_size, r_size, rtol=1e-5)
+    np.testing.assert_allclose(o_pos, r_pos, rtol=1e-5)
+
+
+def test_causal_accuracy_parity(ref_ct_module):
+    import jax.numpy as jnp
+    from ctvae_tpu.models.ct_vae import CausalTransition
+
+    rng = np.random.default_rng(5)
+    A, B = 6, 32
+    probas = rng.uniform(size=(B, A)).astype(np.float32)
+    action = np.eye(A, dtype=np.float32)[rng.integers(0, A, B)]
+    ref = ref_ct_module.CausalTransition(input_dim=4, action_dim=A,
+                                         latent_dims=[8, 4])
+    with torch.no_grad():
+        r_acc = float(ref.causal_accuracy(torch.from_numpy(probas),
+                                          torch.from_numpy(action)))
+        r_nodir = float(ref.causal_undirected_accuracy(
+            torch.from_numpy(probas), torch.from_numpy(action)))
+    o_acc = float(CausalTransition.causal_accuracy(
+        jnp.asarray(probas), jnp.asarray(action)))
+    o_nodir = float(CausalTransition.causal_undirected_accuracy(
+        jnp.asarray(probas), jnp.asarray(action)))
+    assert o_acc == pytest.approx(r_acc)
+    assert o_nodir == pytest.approx(r_nodir)
