@@ -1,2 +1,3 @@
-from .mesh import (DATA_AXIS, MODEL_AXIS, batch_sharding, make_mesh,
-                   replicated, shard_batch)
+from .mesh import (DATA_AXIS, MODEL_AXIS, DEFAULT_TP_RULES, batch_sharding,
+                   make_mesh, param_shardings, replicated, shard_batch,
+                   shard_params)

@@ -45,3 +45,51 @@ def shard_batch(batch: Dict[str, jax.Array], mesh: Mesh) -> Dict[str, jax.Array]
     """Device-put a host batch with the leading dim sharded over ``data``."""
     sh = batch_sharding(mesh)
     return {k: jax.device_put(v, sh) for k, v in batch.items()}
+
+
+# ---------------------------------------------------------------------------
+# Parameter sharding over the model axis (tensor parallelism).
+#
+# The reference has no TP (SURVEY.md §2.5), but the wide CT tensors are
+# the natural candidates when scaling past pure DP: the per-action
+# discoverer stacks [A+1, N, H] (hidden axis) and the VQ codebooks
+# [K, D/C] (codebook-entry axis). Everything else is replicated.
+# ---------------------------------------------------------------------------
+
+# leaf-name -> which axis of the leaf to split over the `model` mesh axis
+DEFAULT_TP_RULES: Dict[str, int] = {
+    "disc_w1l": 2,     # [A+1, N, H] — split hidden
+    "disc_w1r": 2,
+    "disc_b1": 1,
+    "embedding": 0,    # [K, D] codebooks — split entries
+}
+
+
+def param_shardings(params, mesh: Mesh,
+                    rules: Optional[Dict[str, int]] = None):
+    """Pytree of NamedShardings: leaves whose *name* matches a rule are
+    split over the ``model`` axis at the ruled dimension, everything
+    else replicated. With a trivial model axis (size 1) this degenerates
+    to full replication."""
+    rules = DEFAULT_TP_RULES if rules is None else rules
+    model_size = mesh.shape[MODEL_AXIS]
+
+    def one(path, leaf):
+        name = str(path[-1].key) if hasattr(path[-1], "key") else ""
+        axis = rules.get(name)
+        if (axis is None or model_size == 1
+                or leaf.ndim <= axis
+                or leaf.shape[axis] % model_size != 0):
+            return NamedSharding(mesh, P())
+        spec = [None] * leaf.ndim
+        spec[axis] = MODEL_AXIS
+        return NamedSharding(mesh, P(*spec))
+
+    return jax.tree_util.tree_map_with_path(one, params)
+
+
+def shard_params(params, mesh: Mesh,
+                 rules: Optional[Dict[str, int]] = None):
+    """Device-put params with ``param_shardings``."""
+    return jax.tree_util.tree_map(
+        jax.device_put, params, param_shardings(params, mesh, rules))
