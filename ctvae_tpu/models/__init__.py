@@ -70,7 +70,8 @@ vae_models["GumbelVAE"] = CategoricalVAE
 def build_model(model_params: dict) -> BaseVAE:
     """Instantiate a model from a ``model_params`` config section: the
     ``name`` key selects the class, everything else is passed as kwargs
-    (reference run.py:52)."""
+    (reference run.py:52). ``dtype`` may be a string ("bfloat16",
+    "float32", ...) for YAML-driven mixed precision."""
     params = dict(model_params)
     name = params.pop("name")
     cls = vae_models[name]
@@ -81,4 +82,7 @@ def build_model(model_params: dict) -> BaseVAE:
     for k in ("hidden_dims", "latent_dims", "causal_hidden_dims"):
         if k in params and params[k] is not None:
             params[k] = tuple(params[k])
+    if isinstance(params.get("dtype"), str):
+        import jax.numpy as jnp
+        params["dtype"] = jnp.dtype(params["dtype"]).type
     return cls(**params)
