@@ -79,7 +79,8 @@ def main():
                            input_y=jnp.asarray(batch["input_y"]),
                            mode="action", train=False)
     variables = dict(variables)
-    variables["params"] = load_weights_only(args.ckpt, variables["params"])
+    variables["params"] = jax.tree_util.tree_map(
+        jnp.asarray, load_weights_only(args.ckpt, variables["params"]))
     apply_rngs = {s: jax.random.PRNGKey(7 + i)
                   for i, s in enumerate(RNG_STREAMS)}
 

@@ -20,10 +20,11 @@ from ctvae_tpu.parallel import make_mesh, replicated, shard_batch
 from ctvae_tpu.training import create_train_state, make_train_step
 
 BASELINE_IMG_PER_SEC = 2000.0  # nominal reference-stack throughput
-BATCH = 256
+BATCH = 1024
 IMG = 64
 WARMUP_STEPS = 5
-BENCH_STEPS = 30
+BENCH_STEPS = 200
+V5E_BF16_PEAK_TFLOPS = 197.0
 
 
 def main():
@@ -41,14 +42,36 @@ def main():
     with mesh:
         sbatch = shard_batch(batch, mesh)
         state = jax.device_put(state, replicated(mesh))
+        compiled = step.lower(state, sbatch).compile()
+        ca = compiled.cost_analysis()
+        ca = (ca[0] if isinstance(ca, list) else ca) or {}
+        step_flops = float(ca.get("flops", 0.0))
+        # Timing methodology: through the remote-chip tunnel,
+        # block_until_ready can acknowledge before execution finishes
+        # (observed "26,800 TFLOP/s" on chained matmuls). Fetching the
+        # final loss VALUE forces the whole donated-state chain to have
+        # executed; one tunnel round-trip (measured separately) is
+        # subtracted. The final value is also a correctness canary.
         for _ in range(WARMUP_STEPS):
-            state, metrics = step(state, sbatch)
-        jax.block_until_ready(metrics["loss"])
+            state, metrics = compiled(state, sbatch)
+        _ = float(metrics["loss"])
+        t0 = time.perf_counter()
+        _ = float(metrics["loss"])  # measure one RTT on a ready value
+        rtt = time.perf_counter() - t0
         t0 = time.perf_counter()
         for _ in range(BENCH_STEPS):
-            state, metrics = step(state, sbatch)
-        jax.block_until_ready(metrics["loss"])
-        dt = time.perf_counter() - t0
+            state, metrics = compiled(state, sbatch)
+        final_loss = float(metrics["loss"])
+        dt = max(time.perf_counter() - t0 - rtt, 1e-9)
+        assert final_loss == final_loss, "loss is NaN"
+
+    # Sanity (SKILL.md gotcha): a per-chip FLOP rate above hardware peak
+    # means the timing is async-dispatch garbage, not a fast kernel.
+    tflops = step_flops * BENCH_STEPS / dt / 1e12 / n_chips
+    if step_flops and tflops > V5E_BF16_PEAK_TFLOPS:
+        import sys
+        print(f"warning: measured {tflops:.0f} TFLOP/s/chip exceeds "
+              f"hardware peak; timing untrustworthy", file=sys.stderr)
 
     img_per_sec = BENCH_STEPS * BATCH / dt
     per_chip = img_per_sec / n_chips

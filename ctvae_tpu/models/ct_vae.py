@@ -421,12 +421,16 @@ class CTMCQVAE(BaseVAE):
     def forward_action(self, x: Array, action: Array = None,
                        input_y: Array = None, *,
                        train: bool = False) -> ModelOutput:
-        latents = self.encoder(x)
+        # x and input_y ride ONE encoder pass (batch-concatenated): twice
+        # the matmul M-dim, half the kernel launches vs the reference's
+        # second encode (ct_mcq_vae.py:536) — layout-free speedup on MXU.
+        latents2 = self.encoder(jnp.concatenate([x, input_y], axis=0))
+        latents, latents_y = jnp.split(latents2, 2, axis=0)
         inds = self.vq_layer.compute_inds(latents)
         one_hot = self.ct_preprocess(inds)
         ct_seq, ct_reg, ct_metrics = self.ct_layer.forward_action(
             one_hot, action, train=train)
-        target_inds = self.vq_layer.compute_inds(self.encoder(input_y))
+        target_inds = self.vq_layer.compute_inds(latents_y)
         ct_loss = ct_reg + self.ct_layer.latent_loss(
             ct_seq, self.ct_preprocess(target_inds))
         ct_inds = self.ct_postprocess(ct_seq)
@@ -441,8 +445,8 @@ class CTMCQVAE(BaseVAE):
     def forward_causal(self, x: Array, input_y: Array = None,
                        action: Array = None, *,
                        train: bool = False) -> ModelOutput:
-        latents_x = self.encoder(x)
-        latents_y = self.encoder(input_y)
+        latents2 = self.encoder(jnp.concatenate([x, input_y], axis=0))
+        latents_x, latents_y = jnp.split(latents2, 2, axis=0)
         inds_x = self.vq_layer.compute_inds(latents_x)
         inds_y = self.vq_layer.compute_inds(latents_y)
         probas, ct_reg, _ = self.ct_layer.forward_transition(

@@ -104,10 +104,12 @@ class VAEXperiment:
         key = (mode, opt_idx)
         if key not in self._train_steps:
             static = {"mode": mode} if _has_modes(self.model) else None
+            # donate_argnums=0: the old TrainState's buffers are reused
+            # for the new one — halves peak HBM for params+opt state.
             self._train_steps[key] = jax.jit(make_train_step(
                 self.model, self.txs, M_N=self.kld_weight,
                 optimizer_idx=opt_idx, fwd_kwargs_keys=FWD_KEYS,
-                static_fwd_kwargs=static))
+                static_fwd_kwargs=static), donate_argnums=0)
         return self._train_steps[key]
 
     def _eval_step(self, mode: str):

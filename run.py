@@ -49,7 +49,7 @@ def main():
 
     logger = ExperimentLogger(
         save_dir=logging_params.get("save_dir", "logs/"),
-        name=model_params.get("name", "model"),
+        name=logging_params.get("name", model_params.get("name", "model")),
         use_wandb=bool(logging_params.get("use_wandb", False)),
         hparams=config)
     print(f"=> logging to {logger.log_dir}")
