@@ -75,6 +75,7 @@ class CausalTransition(nn.Module):
     c_epsilon: float = 0.4
     dropout_rate: float = 0.1
     pairwise_block_rows: Optional[int] = None   # None = all rows at once
+    gat_block_cols: int = 0   # >0 bounds the GAT attention workspace
     max_len: int = 4096
     dtype: jnp.dtype = jnp.float32
 
@@ -110,7 +111,7 @@ class CausalTransition(nn.Module):
                                     (N,), self.dtype)
         self.graph_transitioner = GATv2Stack(
             input_dim=N, hidden=self._ldims[1:], heads=self.nb_heads,
-            dtype=self.dtype)
+            dtype=self.dtype, block_cols=self.gat_block_cols)
 
     # ------------------------------------------------------------------
     # building blocks
@@ -349,6 +350,7 @@ class CTMCQVAE(BaseVAE):
     c_epsilon: float = 0.4
     slicing: str = "chunk"
     pairwise_block_rows: Optional[int] = None
+    gat_block_cols: int = 0
     dtype: jnp.dtype = jnp.float32
 
     @property
@@ -370,7 +372,8 @@ class CTMCQVAE(BaseVAE):
             latent_dims=self.causal_hidden_dims, noise=self.noise,
             c_alpha=self.c_alpha, c_beta=self.c_beta, c_delta=self.c_delta,
             c_epsilon=self.c_epsilon,
-            pairwise_block_rows=self.pairwise_block_rows, dtype=self.dtype)
+            pairwise_block_rows=self.pairwise_block_rows,
+            gat_block_cols=self.gat_block_cols, dtype=self.dtype)
         self.decoder = VQDecoder(hd, out_channels=self.in_channels,
                                  dtype=self.dtype)
 

@@ -36,6 +36,8 @@ class DenseGATv2Layer(nn.Module):
     heads: int = 1
     negative_slope: float = 0.2
     dtype: jnp.dtype = jnp.float32
+    block_cols: int = 0   # >0: chunk the target axis; bounds the
+                          # [B,S,block,H,F] pre-activation workspace
 
     @nn.compact
     def __call__(self, x: Array, adj: Array) -> Array:
@@ -54,12 +56,26 @@ class DenseGATv2Layer(nn.Module):
                          self.dtype)
         bias = self.param("bias", nn.initializers.zeros, (H * F,), self.dtype)
 
-        # pre-activation per (s, t, h, f); [B, S, T, H, F] materialized —
-        # fine at CT sizes (T <= a few hundred), and XLA fuses the einsum.
-        pre = (xl[:, :, None, :, :] + xr[:, None, :, :, :]
-               + adj[:, :, :, None, None].astype(self.dtype) * we)
-        logits = jnp.einsum("bsthf,hf->bsth",
-                            nn.leaky_relu(pre, self.negative_slope), att)
+        def logits_for(adj_cols: Array, xr_cols: Array) -> Array:
+            """adj_cols [B, S, C], xr_cols [B, C, H, F] -> [B, S, C, H]."""
+            pre = (xl[:, :, None, :, :] + xr_cols[:, None, :, :, :]
+                   + adj_cols[:, :, :, None, None].astype(self.dtype) * we)
+            return jnp.einsum("bschf,hf->bsch",
+                              nn.leaky_relu(pre, self.negative_slope), att)
+
+        if self.block_cols and self.block_cols < T:
+            nb = -(-T // self.block_cols)
+            pad = nb * self.block_cols - T
+            adj_p = jnp.pad(adj, ((0, 0), (0, 0), (0, pad)))
+            xr_p = jnp.pad(xr, ((0, 0), (0, pad), (0, 0), (0, 0)))
+            adj_c = adj_p.reshape(B, T, nb, self.block_cols).transpose(2, 0, 1, 3)
+            xr_c = xr_p.reshape(B, nb, self.block_cols, H, F).transpose(1, 0, 2, 3, 4)
+            chunks = jax.lax.map(lambda c: logits_for(c[0], c[1]),
+                                 (adj_c, xr_c))          # [nb, B, S, C, H]
+            logits = chunks.transpose(1, 2, 0, 3, 4).reshape(B, T, nb * self.block_cols, H)
+            logits = logits[:, :, :T]
+        else:
+            logits = logits_for(adj, xr)                 # [B, S, T, H]
 
         mask = (adj != 0)[:, :, :, None]                 # [B, S, T, 1]
         neg = jnp.asarray(-1e30, logits.dtype)
@@ -87,11 +103,14 @@ class GATv2Stack(nn.Module):
     hidden: Sequence[int]
     heads: int
     dtype: jnp.dtype = jnp.float32
+    block_cols: int = 0
 
     @nn.compact
     def __call__(self, x: Array, adj: Array) -> Array:
         for dim in self.hidden:
-            x = DenseGATv2Layer(dim, heads=self.heads, dtype=self.dtype)(x, adj)
+            x = DenseGATv2Layer(dim, heads=self.heads, dtype=self.dtype,
+                                block_cols=self.block_cols)(x, adj)
             x = nn.leaky_relu(x, negative_slope=0.01)
         return DenseGATv2Layer(self.input_dim, heads=self.heads,
-                               dtype=self.dtype)(x, adj)
+                               dtype=self.dtype,
+                               block_cols=self.block_cols)(x, adj)
