@@ -10,7 +10,10 @@ downloads — ``prepare`` is a no-op that just validates presence):
 * 3dshapes — ``3dshapes.h5`` (images uint8 [N,64,64,3], labels [N,6])
 * cars3d   — ``cars/*.mat`` (nips2015-analogy-data, 24x4 views per car)
 * smallnorb — the 4 ``*-{dat,cat,info}.mat`` binary matrices
-* sprites  — ``npy_tensor/*.npy`` frame tensors
+* sprites  — ``sprites.npz`` with ``images`` [N,H,W,C] + ``factors``
+  [N,9] arrays (a preprocessed consolidation of the upstream
+  ``npy_tensor/*.npy`` per-action frame tensors; consolidate offline
+  once, same information)
 
 Every loader exposes the adapter surface the transition wrapper expects
 (``split`` / ``root`` / ``base_folder`` / ``indices``, reference
