@@ -114,12 +114,13 @@ class VAEDataset:
     """Args mirror the reference VAEDataset (dataset.py:45-68); torch-only
     knobs (num_workers, pin_memory) are accepted and ignored."""
 
-    def __init__(self, data_path: str, dataset_name: str,
+    def __init__(self, data_path: str, dataset_name: str = "Celeba",
                  train_batch_size: int = 8, val_batch_size: int = 8,
                  patch_size: Union[int, Sequence[int]] = (64, 64),
                  num_workers: int = 0, pin_memory: bool = False,
                  limit: Optional[int] = None, distributed: bool = True,
-                 seed: int = 0, **kwargs):
+                 seed: int = 0, host_id: Optional[int] = None,
+                 num_hosts: Optional[int] = None, **kwargs):
         self.data_dir = data_path
         self.dataset_name = dataset_name
         self.train_batch_size = train_batch_size
@@ -128,6 +129,19 @@ class VAEDataset:
         self.limit = limit
         self.seed = seed
         self.extra = kwargs
+        # Multi-host input sharding: each host gets an interleaved subset
+        # of whole batches (the reference shards batch meta-indices with a
+        # DistributedSampler, transition.py:175-178). `distributed: False`
+        # gives every host the full stream, like the reference knob
+        # (dataset.py:56,68).
+        if distributed:
+            if host_id is None or num_hosts is None:
+                import jax
+                host_id = jax.process_index()
+                num_hosts = jax.process_count()
+            self.host_id, self.num_hosts = host_id, num_hosts
+        else:
+            self.host_id, self.num_hosts = 0, 1
 
     def setup(self, stage: Optional[str] = None) -> None:
         transform = StandardTransform(self.patch_size, crop=148)
@@ -145,14 +159,18 @@ class VAEDataset:
         if isinstance(ds, TransitionDataset):
             sched = TransitionBatchScheduler(
                 ds, batch_size=batch_size, shuffle=shuffle, drop_last=True,
-                limit=self.limit if shuffle else None, seed=self.seed)
+                limit=self.limit if shuffle else None, seed=self.seed,
+                host_id=self.host_id, num_hosts=self.num_hosts)
             for mode, idxs in sched.epoch(epoch):
                 batch = ds.get_batch(idxs, mode)
                 batch["mode"] = mode
                 yield batch
         else:
-            for batch in _plain_batches(ds, batch_size, shuffle, self.seed,
-                                        epoch):
+            batches = _plain_batches(ds, batch_size, shuffle, self.seed,
+                                     epoch)
+            for i, batch in enumerate(batches):
+                if i % self.num_hosts != self.host_id:
+                    continue
                 batch["mode"] = "base"
                 yield batch
 
@@ -173,5 +191,7 @@ class VAEDataset:
         if isinstance(ds, TransitionDataset):
             return TransitionBatchScheduler(
                 ds, batch_size=self.train_batch_size,
-                limit=self.limit, seed=self.seed).batches_per_epoch()
-        return len(ds) // self.train_batch_size
+                limit=self.limit, seed=self.seed,
+                host_id=self.host_id,
+                num_hosts=self.num_hosts).batches_per_epoch()
+        return len(ds) // self.train_batch_size // self.num_hosts

@@ -12,11 +12,14 @@ causal (reference :70-106). Actions are 2N-dim one-hots: index
 ``TransitionBatchScheduler`` replaces the reference's
 ``TransitionBatchSampler`` + torch ``DistributedSampler`` combo
 (:128-193): a deterministic, seeded, per-epoch schedule of
-(mode, index-batch) pairs. Under SPMD there is ONE logical process
-feeding the mesh, so mode homogeneity across replicas is guaranteed by
-construction; for multi-host setups ``shard(host_id, num_hosts)``
-round-robins whole batches like DistributedSampler sharded the
-meta-indices.
+(mode, index-batch) pairs. Multi-host semantics differ from the
+reference BY DESIGN: the DistributedSampler round-robins batches so
+ranks can see *different modes* in the same step — which is why the
+reference needs DDP ``find_unused_parameters``. Under SPMD every host
+executes the same jitted program per step, so the mode must be globally
+uniform: the scheduler builds GLOBAL batches of ``batch_size *
+num_hosts`` indices and host h takes its contiguous slice — same mode
+everywhere, disjoint data, one compiled step.
 """
 
 from __future__ import annotations
@@ -152,30 +155,30 @@ class TransitionBatchScheduler:
         return out
 
     def epoch(self, epoch: int) -> Iterator[Tuple[str, np.ndarray]]:
-        """Yields (mode, indices) with len(indices) == batch_size."""
+        """Yields (mode, indices) with len(indices) == batch_size; at step
+        t every host yields the SAME mode (a slice of one global batch)."""
         rng = np.random.default_rng((self.seed, epoch))
         per_mode = self._mode_indices(rng)
+        gbs = self.batch_size * self.num_hosts
         batches: List[Tuple[str, np.ndarray]] = []
         for mode, idx in per_mode.items():
             if self.shuffle:
                 idx = rng.permutation(idx)
-            n_full = len(idx) // self.batch_size
+            n_full = len(idx) // gbs
             for b in range(n_full):
-                batches.append(
-                    (mode, idx[b * self.batch_size:(b + 1) * self.batch_size]))
-            if not self.drop_last and len(idx) % self.batch_size:
-                batches.append((mode, idx[n_full * self.batch_size:]))
+                batches.append((mode, idx[b * gbs:(b + 1) * gbs]))
+            if not self.drop_last and len(idx) % gbs:
+                batches.append((mode, idx[n_full * gbs:]))
         if self.shuffle:
             order = rng.permutation(len(batches))
             batches = [batches[i] for i in order]
-        # host sharding: whole batches round-robin, keeping the global
-        # "one mode per step" invariant per host
-        return iter(batches[self.host_id::self.num_hosts])
+        lo = self.host_id * self.batch_size
+        return iter((mode, g[lo:lo + self.batch_size]) for mode, g in batches)
 
     def batches_per_epoch(self) -> int:
+        gbs = self.batch_size * self.num_hosts
         total = 0
         for mode, rr in self.data.mode_ranges().items():
             n = len(rr) if self.limit is None else min(self.limit, len(rr))
-            total += (n // self.batch_size if self.drop_last
-                      else -(-n // self.batch_size))
-        return total // self.num_hosts
+            total += n // gbs if self.drop_last else -(-n // gbs)
+        return total

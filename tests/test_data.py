@@ -67,21 +67,29 @@ def test_scheduler_mode_homogeneous_and_deterministic():
                for (m1, i1), (m3, i3) in zip(batches1, batches3))
 
 
-def test_scheduler_host_sharding_partitions_batches():
-    ds = _t_synthetic(split="train", n=128)
-    all_b = list(TransitionBatchScheduler(ds, batch_size=4, seed=1).epoch(0))
+def test_scheduler_host_sharding_same_mode_disjoint_slices():
+    """Multi-host SPMD invariant: at every step ALL hosts get the same
+    mode (one jitted program), with disjoint slices of one global batch
+    (unlike the reference's DistributedSampler, which lets ranks diverge
+    in mode and therefore needs DDP find_unused_parameters)."""
+    ds = _t_synthetic(split="train", n=256)
+    H, BS = 4, 4
     shards = [list(TransitionBatchScheduler(
-        ds, batch_size=4, seed=1, host_id=h, num_hosts=4).epoch(0))
-        for h in range(4)]
-    interleaved = []
-    for h, shard in enumerate(shards):
-        for j, b in enumerate(shard):
-            interleaved.append((j * 4 + h, b))
-    total = sum(len(s) for s in shards)
-    assert abs(total - len(all_b)) < 4
-    for pos, (mode, idxs) in interleaved:
-        m0, i0 = all_b[pos]
-        assert mode == m0 and np.array_equal(idxs, i0)
+        ds, batch_size=BS, seed=1, host_id=h, num_hosts=H).epoch(0))
+        for h in range(H)]
+    n_steps = len(shards[0])
+    assert all(len(s) == n_steps for s in shards)
+    assert n_steps == TransitionBatchScheduler(
+        ds, batch_size=BS, seed=1, num_hosts=H).batches_per_epoch()
+    ranges = ds.mode_ranges()
+    for t in range(n_steps):
+        modes = {shards[h][t][0] for h in range(H)}
+        assert len(modes) == 1, f"mode divergence at step {t}: {modes}"
+        mode = modes.pop()
+        union = np.concatenate([shards[h][t][1] for h in range(H)])
+        assert len(union) == H * BS
+        assert len(np.unique(union)) == H * BS          # disjoint
+        assert all(int(i) in ranges[mode] for i in union)
 
 
 def test_vaedataset_end_to_end_synthetic():
