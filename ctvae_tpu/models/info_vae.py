@@ -27,12 +27,14 @@ class InfoVAE(StandardGaussianVAE):
         super().__post_init__()
 
     def loss_function(self, outputs: ModelOutput, *, M_N: float = 1.0,
-                      rng: Array = None, **kwargs) -> Dict[str, Array]:
+                      rng: Array = None, prior_z: Array = None,
+                      **kwargs) -> Dict[str, Array]:
         z = outputs["z"]
         batch_size = z.shape[0]
         bias_corr = batch_size * (batch_size - 1)
         recons_loss = mse_loss(outputs["recons"], outputs["input"])
-        mmd = compute_mmd(rng, z, self.kernel_type, self.latent_var)
+        mmd = compute_mmd(rng, z, self.kernel_type, self.latent_var,
+                          prior_z=prior_z)
         kld = gaussian_kl(outputs["mu"], outputs["log_var"])
         loss = (self.beta * recons_loss
                 + (1.0 - self.alpha) * M_N * kld

@@ -43,10 +43,13 @@ def compute_kernel(x1: Array, x2: Array, kernel_type: str, z_var: float) -> Arra
     raise ValueError("Undefined kernel type.")
 
 
-def compute_mmd(rng: Array, z: Array, kernel_type: str, z_var: float) -> Array:
-    """MMD(q(z) || N(0, I)) with a fresh prior sample per call."""
+def compute_mmd(rng: Array, z: Array, kernel_type: str, z_var: float,
+                prior_z: Array = None) -> Array:
+    """MMD(q(z) || N(0, I)) with a fresh prior sample per call.
+    ``prior_z`` pins the prior draw (determinism / parity tests)."""
     z = z.astype(jnp.float32)
-    prior_z = jax.random.normal(rng, z.shape)
+    if prior_z is None:
+        prior_z = jax.random.normal(rng, z.shape)
     pp = compute_kernel(prior_z, prior_z, kernel_type, z_var)
     zz = compute_kernel(z, z, kernel_type, z_var)
     pz = compute_kernel(prior_z, z, kernel_type, z_var)

@@ -21,11 +21,12 @@ class WAE_MMD(StandardGaussianVAE):
     deterministic: bool = True
 
     def loss_function(self, outputs: ModelOutput, *, rng: Array = None,
-                      **kwargs) -> Dict[str, Array]:
+                      prior_z: Array = None, **kwargs) -> Dict[str, Array]:
         z = outputs["z"]
         batch_size = z.shape[0]
         reg = self.reg_weight / (batch_size * (batch_size - 1))
         recons_loss = mse_loss(outputs["recons"], outputs["input"])
-        mmd = reg * compute_mmd(rng, z, self.kernel_type, self.latent_var)
+        mmd = reg * compute_mmd(rng, z, self.kernel_type, self.latent_var,
+                                prior_z=prior_z)
         loss = recons_loss + mmd
         return {"loss": loss, "Reconstruction_Loss": recons_loss, "MMD": mmd}
