@@ -323,3 +323,34 @@ def test_mcq_inds_parity(ref_models):
     o_inds = q.apply(variables, jnp.asarray(lat), method=q.compute_inds)
     np.testing.assert_array_equal(r_inds.numpy(),
                                   np.asarray(o_inds))
+
+
+def test_lvae_merge_and_kl_parity(ref_models):
+    """LVAE precision-weighted posterior merge + rung KL divergence
+    (reference lvae.py:173-195) — pure functions, compared directly."""
+    import importlib
+    import jax.numpy as jnp
+    from ctvae_tpu.models.lvae import kl_divergence, merge_gauss
+
+    lvae_mod = importlib.import_module("models.lvae")
+    ref = lvae_mod.LVAE(3, [4, 8], [32, 64])
+    rng = np.random.default_rng(20)
+    B, D = 6, 4
+    mu1, mu2 = (rng.normal(size=(B, D)).astype(np.float32) for _ in range(2))
+    lv1, lv2 = ((rng.normal(size=(B, D)) * 0.4).astype(np.float32)
+                for _ in range(2))
+
+    r_mu, r_lv = ref.merge_gauss(torch.from_numpy(mu1), torch.from_numpy(mu2),
+                                 torch.from_numpy(lv1), torch.from_numpy(lv2))
+    o_mu, o_lv = merge_gauss(jnp.asarray(mu1), jnp.asarray(mu2),
+                             jnp.asarray(lv1), jnp.asarray(lv2))
+    np.testing.assert_allclose(np.asarray(o_mu), r_mu.numpy(), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(o_lv), r_lv.numpy(), rtol=1e-5)
+
+    z = rng.normal(size=(B, D)).astype(np.float32)
+    r_kl = ref.compute_kl_divergence(
+        torch.from_numpy(z), (torch.from_numpy(mu1), torch.from_numpy(lv1)),
+        (torch.from_numpy(mu2), torch.from_numpy(lv2)))
+    o_kl = kl_divergence(jnp.asarray(mu1), jnp.asarray(lv1),
+                         jnp.asarray(mu2), jnp.asarray(lv2))
+    np.testing.assert_allclose(np.asarray(o_kl), r_kl.numpy(), rtol=1e-4)
