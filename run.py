@@ -32,6 +32,12 @@ def main():
     # Imports after arg parsing so `-h` is instant.
     import jax
 
+    # Multi-host SPMD (TPU pods): one process per host, same invocation
+    # everywhere; JAX wires the mesh over ICI/DCN. Opt-in by env because
+    # initialize() blocks waiting for peers.
+    if os.environ.get("CTVAE_MULTIHOST", "0") == "1":
+        jax.distributed.initialize()
+
     from ctvae_tpu.data import VAEDataset
     from ctvae_tpu.metrics import MetricSet
     from ctvae_tpu.models import build_model
