@@ -50,27 +50,25 @@ class _SyntheticAdapter(SyntheticDataset):
         return self.images[idxs], self.factors[idxs]
 
 
-def _t_synthetic(data_dir="", split="train", transform=None, **kw):
-    base = _SyntheticAdapter(data_dir, split=split, **kw)
-    # (transitions synthesized below; no variation_attrs file needed)
+def _t_synthetic(data_dir="", split="train", transform=None, img_size=64,
+                 **kw):
+    """True causal transition dataset over the synthetic factor grid:
+    pairs differ in exactly one factor, the action names it — so CT-VAE
+    can genuinely learn (and tests can measure) causal structure, unlike
+    random pairings (transitions built in-memory, no variation_attrs
+    file needed)."""
+    from .synthetic import SyntheticGridDataset
+    base = SyntheticGridDataset(img_size=img_size, split=split)
     ds = TransitionDataset.__new__(TransitionDataset)
-    # synthesize transitions in-memory: pairs differing in one factor
     ds.dataset = base
-    ds.num_variations = 4
+    ds.num_variations = len(base.factor_sizes)
     ds.split = split
     ds.root = ""
     ds.base_folder = ""
     ds.indices = base.indices
     ds._index_of = {n: i for i, n in enumerate(base.indices)}
     ds._full_data = base
-    rng = np.random.default_rng(0)
-    n_pairs = max(4, len(base) // 4)
-    xs = rng.integers(0, len(base), n_pairs)
-    ys = rng.integers(0, len(base), n_pairs)
-    ds.transitions = [(str(a), str(b)) for a, b in zip(xs, ys)]
-    acts = np.zeros((n_pairs, 8), np.float32)
-    acts[np.arange(n_pairs), rng.integers(0, 8, n_pairs)] = 1.0
-    ds.actions = acts
+    ds.transitions, ds.actions = base.causal_transitions()
     return ds
 
 
@@ -118,7 +116,8 @@ class VAEDataset:
                  train_batch_size: int = 8, val_batch_size: int = 8,
                  patch_size: Union[int, Sequence[int]] = (64, 64),
                  num_workers: int = 0, pin_memory: bool = False,
-                 limit: Optional[int] = None, distributed: bool = True,
+                 limit: Optional[int] = None, val_limit: Optional[int] = None,
+                 distributed: bool = True,
                  seed: int = 0, host_id: Optional[int] = None,
                  num_hosts: Optional[int] = None, **kwargs):
         self.data_dir = data_path
@@ -127,6 +126,10 @@ class VAEDataset:
         self.val_batch_size = val_batch_size
         self.patch_size = patch_size
         self.limit = limit
+        # extension over the reference (which limits only the train
+        # sampler, dataset.py:96-131): cap validation batches too — used
+        # by tests/CI where full validation sweeps are too slow
+        self.val_limit = val_limit
         self.seed = seed
         self.extra = kwargs
         # Multi-host input sharding: each host gets an interleaved subset
@@ -159,7 +162,8 @@ class VAEDataset:
         if isinstance(ds, TransitionDataset):
             sched = TransitionBatchScheduler(
                 ds, batch_size=batch_size, shuffle=shuffle, drop_last=True,
-                limit=self.limit if shuffle else None, seed=self.seed,
+                limit=self.limit if shuffle else self.val_limit,
+                seed=self.seed,
                 host_id=self.host_id, num_hosts=self.num_hosts)
             for mode, idxs in sched.epoch(epoch):
                 batch = ds.get_batch(idxs, mode)

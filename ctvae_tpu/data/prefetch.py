@@ -4,8 +4,14 @@ The reference overlaps input work with compute via torch DataLoader
 worker processes (/root/reference/dataset.py:100-166 ``num_workers``).
 Under SPMD there is one host process per chip-set, so the overlap is a
 thread: while the device executes step N (JAX dispatch is async), the
-prefetcher prepares and ``device_put``s batches N+1..N+depth, keeping
-the H2D copy off the critical path.
+prefetcher assembles batches N+1..N+depth on the host.
+
+The worker thread touches ONLY numpy — all JAX API calls (device_put)
+happen on the consumer thread. Calling device_put concurrently from a
+second thread while the main thread compiles aborts the runtime with a
+C++ CHECK failure (observed on the CPU backend with multi-mode CT
+training); host-side assembly still hides the expensive part (decode /
+crop / resize / gather), and dispatch being async hides the H2D copy.
 """
 
 from __future__ import annotations
@@ -14,7 +20,7 @@ import queue
 import threading
 from typing import Dict, Iterator, Optional
 
-import jax.numpy as jnp
+import numpy as np
 
 from ..parallel.mesh import shard_batch
 
@@ -24,20 +30,18 @@ _SENTINEL = object()
 def prefetch_to_device(batches: Iterator[dict], mesh, depth: int = 2,
                        ) -> Iterator[dict]:
     """Yields batches with array values device-put (sharded over the
-    mesh's data axis) ``depth`` steps ahead of the consumer. String
-    values (the ``mode`` key) pass through untouched."""
+    mesh's data axis), assembled ``depth`` steps ahead on a host thread.
+    String values (the ``mode`` key) pass through untouched."""
     q: "queue.Queue" = queue.Queue(maxsize=max(1, depth))
     err: list = []
 
     def worker():
         try:
             for batch in batches:
-                arrays = {k: jnp.asarray(v) for k, v in batch.items()
-                          if not isinstance(v, str)}
-                on_device = shard_batch(arrays, mesh)
-                on_device.update({k: v for k, v in batch.items()
-                                  if isinstance(v, str)})
-                q.put(on_device)
+                # numpy-only: materialize/convert on the host thread
+                host = {k: (v if isinstance(v, str) else np.asarray(v))
+                        for k, v in batch.items()}
+                q.put(host)
         except BaseException as e:  # surfaced in the consumer thread
             err.append(e)
         finally:
@@ -51,4 +55,8 @@ def prefetch_to_device(batches: Iterator[dict], mesh, depth: int = 2,
             if err:
                 raise err[0]
             return
-        yield item
+        arrays = {k: v for k, v in item.items() if not isinstance(v, str)}
+        on_device = shard_batch(arrays, mesh)
+        on_device.update({k: v for k, v in item.items()
+                          if isinstance(v, str)})
+        yield on_device

@@ -332,6 +332,11 @@ class CTMCQVAE(BaseVAE):
     batch-uniform mode list, :585-586).
     """
 
+    # Mode registry (reference FORWARD_MODES dict, ct_mcq_vae.py:570-574).
+    # The trainer keys one jitted step per mode off this attribute; a
+    # model without it is single-mode.
+    FORWARD_MODES = ("base", "action", "causal")
+
     in_channels: int = 3
     embedding_dim: int = 128
     action_dim: int = 12
@@ -401,9 +406,12 @@ class CTMCQVAE(BaseVAE):
         return inds.reshape(B, self.codebooks, hw, hw)
 
     def _zero_metrics(self, mode_id: float) -> Dict[str, Array]:
-        return {"causal_acc": jnp.asarray(0.0),
-                "causal_nodir_acc": jnp.asarray(0.0),
-                "mode_id": jnp.asarray(mode_id)}
+        # mode_id only: causal_acc/causal_nodir_acc are emitted ONLY by
+        # causal batches (like the reference), so validation averages of
+        # those keys aren't diluted by zeros from base/action batches.
+        # Per-mode train steps are separate jits, so per-mode metric key
+        # sets are fine.
+        return {"mode_id": jnp.asarray(mode_id)}
 
     # --- forward modes (reference :501-591) -----------------------------
 

@@ -20,9 +20,12 @@ def _tiny_experiment(tmp_path, dataset="Synthetic", model_params=None,
     model = build_model(model_params or {
         "name": "VanillaVAE", "in_channels": 3, "latent_dim": 8,
         "hidden_dims": [8, 16], "img_size": 16})
+    # limit=32: caps per-mode samples/epoch — on the 8-virtual-device
+    # single-core CPU mesh, long CT epochs overrun XLA's 40 s collective
+    # rendezvous timeout and abort the process
     data = VAEDataset(data_path="", dataset_name=dataset,
                       train_batch_size=16, val_batch_size=8,
-                      patch_size=16, n=96)
+                      patch_size=16, n=96, limit=32, val_limit=16)
     data.setup()
     lg = ExperimentLogger(str(tmp_path), "t") if logger else None
     ckpt = CheckpointManager(os.path.join(str(tmp_path), "ck"), top_k=2)
@@ -79,7 +82,9 @@ def test_weights_only_partial_merge(tmp_path):
 
 def test_fit_transition_model_all_modes(tmp_path):
     """CTMCQVAE through the full loop on TSynthetic: every batch mode
-    compiles and steps; val metrics come back finite."""
+    must actually DISPATCH (regression: a missing FORWARD_MODES
+    attribute once made the trainer silently run every batch in base
+    mode — caught because val_mode_id averaged exactly 0)."""
     exp, _ = _tiny_experiment(
         tmp_path, dataset="TSynthetic",
         model_params={"name": "CTMCQVAE", "in_channels": 3,
@@ -93,6 +98,13 @@ def test_fit_transition_model_all_modes(tmp_path):
     exp.data.val_batch_size = 8
     val = exp.fit(max_epochs=1)
     assert np.isfinite(val["val_loss"])
+    # mode dispatch: action(1)/causal(2) batches dominate TSynthetic, so
+    # the mean mode id must be well above 0; causal metrics must exist
+    # and only come from causal batches
+    assert val["val_mode_id"] > 0.5, val
+    assert "val_causal_acc" in val
+    from ctvae_tpu.training.experiment import _has_modes
+    assert _has_modes(exp.model)
 
 
 def test_logger_routes_scalars_and_images(tmp_path):

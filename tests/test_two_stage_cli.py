@@ -23,11 +23,12 @@ MODEL = {"name": "CTMCQVAE", "in_channels": 3, "embedding_dim": 8,
 def _config(tmp, logdir, **exp_extra):
     cfg = {
         "model_params": dict(MODEL),
-        # n=200: the 20% val split gives 40 base images and 10 transition
-        # pairs, enough for one full action batch at batch_size=8
+        # limits keep single-core CPU epochs inside XLA's 40 s collective
+        # rendezvous window (the grid test split still has >=8 action
+        # transitions for apply_action)
         "data_params": {"data_path": "", "dataset_name": "TSynthetic",
                         "train_batch_size": 8, "val_batch_size": 8,
-                        "patch_size": 16, "n": 200},
+                        "patch_size": 16, "limit": 24, "val_limit": 16},
         "exp_params": {"LR": 0.001, "kld_weight": 0.00025,
                        "manual_seed": 7, **exp_extra},
         "trainer_params": {"max_epochs": 1},
