@@ -60,12 +60,19 @@ def _load_split_csv(path: str) -> Tuple[List[int], List[int]]:
 
 
 class ArrayFactorDataset:
-    """In-memory (or memmapped) images + integer factor labels."""
+    """In-memory (or memmapped) images + integer factor labels.
+
+    ``cache_transformed=True`` pre-materializes the whole transformed
+    split ONCE (uint8, via the threaded native kernel) so the per-batch
+    hot path is a pure gather — the SURVEY.md §7 recipe for keeping the
+    host pipeline ahead of >100k img/s chips. Cost: H*W*C bytes/image
+    (e.g. 5.9 GB for the full 480k-image Shapes3D at 64x64x3)."""
 
     def __init__(self, images: np.ndarray, factors: np.ndarray,
                  factor_sizes: Tuple[int, ...], data_dir: str,
                  base_folder: str, split: str = "train",
-                 transform: Optional[Callable] = None):
+                 transform: Optional[Callable] = None,
+                 cache_transformed: bool = False):
         self.images_raw = images
         self.factors_all = factors.astype(np.int64)
         self.factor_sizes = tuple(factor_sizes)
@@ -89,6 +96,24 @@ class ArrayFactorDataset:
                 [i for i, s in zip(idx, spl) if s == want], np.int64)
         self.indices = [str(i) for i in self.index_map]
 
+        self._cache: Optional[np.ndarray] = None
+        if cache_transformed and isinstance(self.transform,
+                                            StandardTransform):
+            self._build_cache()
+
+    def _build_cache(self, chunk: int = 4096) -> None:
+        n = len(self.index_map)
+        first = self.transform.batch(
+            np.stack([np.asarray(self.images_raw[int(self.index_map[0])])]))
+        out = np.empty((n,) + first.shape[1:], np.uint8)
+        for lo in range(0, n, chunk):
+            raws = self.index_map[lo:lo + chunk]
+            batch = np.stack([np.asarray(self.images_raw[int(r)])
+                              for r in raws])
+            out[lo:lo + len(raws)] = np.clip(
+                self.transform.batch(batch) * 255.0 + 0.5, 0, 255)
+        self._cache = out
+
     def __len__(self):
         return len(self.index_map)
 
@@ -101,6 +126,9 @@ class ArrayFactorDataset:
 
     def get_batch(self, idxs: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
         raws = self.index_map[np.asarray(idxs)]
+        if self._cache is not None:
+            imgs = self._cache[np.asarray(idxs)].astype(np.float32) / 255.0
+            return imgs, self.factors_all[raws]
         if isinstance(self.transform, StandardTransform):
             raw_imgs = np.stack([np.asarray(self.images_raw[int(r)])
                                  for r in raws])
@@ -135,7 +163,9 @@ def load_dsprites(data_dir: str, split: str = "train",
     factors = z["latents_classes"][:, 1:]
     return ArrayFactorDataset(imgs * np.uint8(255), factors,
                               FACTOR_SIZES["dsprites"], data_dir, "dsprites",
-                              split, transform)
+                              split, transform,
+                              cache_transformed=kw.get("cache_transformed",
+                                                       False))
 
 
 def load_shapes3d(data_dir: str, split: str = "train",
@@ -154,7 +184,9 @@ def load_shapes3d(data_dir: str, split: str = "train",
         vals = np.unique(labels[:, i])
         factors[:, i] = np.searchsorted(vals, labels[:, i])
     return ArrayFactorDataset(imgs, factors, sizes, data_dir, "3dshapes",
-                              split, transform)
+                              split, transform,
+                              cache_transformed=kw.get("cache_transformed",
+                                                       False))
 
 
 def load_cars3d(data_dir: str, split: str = "train",
@@ -174,7 +206,9 @@ def load_cars3d(data_dir: str, split: str = "train",
     sizes = FACTOR_SIZES["cars3d"]
     grid = np.indices(sizes).reshape(len(sizes), -1).T
     return ArrayFactorDataset(images, grid, sizes, data_dir, "cars3d",
-                              split, transform)
+                              split, transform,
+                              cache_transformed=kw.get("cache_transformed",
+                                                       False))
 
 
 def _read_norb_matrix(path: str) -> np.ndarray:
@@ -206,7 +240,9 @@ def load_smallnorb(data_dir: str, split: str = "train",
     order = np.lexsort(factors.T[::-1])
     return ArrayFactorDataset(dat[order], factors[order],
                               FACTOR_SIZES["smallnorb"], data_dir,
-                              "smallnorb", split, transform)
+                              "smallnorb", split, transform,
+                              cache_transformed=kw.get("cache_transformed",
+                                                       False))
 
 
 def load_sprites(data_dir: str, split: str = "train",
@@ -218,7 +254,9 @@ def load_sprites(data_dir: str, split: str = "train",
     z = np.load(path, mmap_mode="r")
     return ArrayFactorDataset(z["images"], z["factors"],
                               FACTOR_SIZES["sprites"], data_dir, "sprites",
-                              split, transform)
+                              split, transform,
+                              cache_transformed=kw.get("cache_transformed",
+                                                       False))
 
 
 DISENT_LOADERS = {

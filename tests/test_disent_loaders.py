@@ -166,3 +166,29 @@ def test_sprites_loader(tmp_path, monkeypatch):
     assert len(ds) == n
     _, f = ds[7]
     np.testing.assert_array_equal(f, grid[7])
+
+
+def test_cache_transformed_matches_live_path(tmp_path, monkeypatch):
+    sizes = (2, 2, 3)
+    monkeypatch.setitem(FACTOR_SIZES, "dsprites", sizes)
+    n = int(np.prod(sizes))
+    grid = np.indices(sizes).reshape(len(sizes), -1).T
+    rng = np.random.default_rng(0)
+    imgs = rng.integers(0, 2, (n, 64, 64)).astype(np.uint8)
+    latents_classes = np.concatenate(
+        [np.zeros((n, 1), np.int64), grid], axis=1)
+    folder = tmp_path / "dsprites"
+    folder.mkdir()
+    np.savez(folder / "dsprites_ndarray_co1sh3sc6or40x32y32_64x64.npz",
+             imgs=imgs, latents_classes=latents_classes)
+    from ctvae_tpu.data.transforms import StandardTransform
+    t = StandardTransform(32, crop=148)
+    live = DISENT_LOADERS["dsprites"](str(tmp_path), split="all", transform=t)
+    cached = DISENT_LOADERS["dsprites"](str(tmp_path), split="all",
+                                        transform=t, cache_transformed=True)
+    idxs = np.arange(n)
+    a, fa = live.get_batch(idxs)
+    b, fb = cached.get_batch(idxs)
+    np.testing.assert_array_equal(fa, fb)
+    # uint8 round trip costs at most 1/255 per pixel
+    assert np.abs(a - b).max() <= 1.0 / 255.0 + 1e-6
