@@ -182,3 +182,93 @@ def test_factorvae_two_phase_parity(ref_mods):
     _close(r0["VAE_TC_Loss"], o0["VAE_TC_Loss"])
     _close(r1["loss"], o1["loss"])
     _close(r1["D_TC_Loss"], o1["D_TC_Loss"])
+
+
+def test_hvae_loss_parity(ref_mods_hier):
+    """HVAE two-level KL combination, with the reference's learned
+    z2->z1 prior heads pinned to fixed outputs on both sides."""
+    import jax.numpy as jnp
+    from ctvae_tpu.models import vae_models
+
+    B, D1, D2 = 6, 5, 4
+    rng = np.random.default_rng(6)
+    x, rec = _imgs((B, 16, 16, 3), 6), _imgs((B, 16, 16, 3), 7)
+    z1_mu = rng.normal(size=(B, D1)).astype(np.float32)
+    z1_lv = (rng.normal(size=(B, D1)) * 0.3).astype(np.float32)
+    z2_mu = rng.normal(size=(B, D2)).astype(np.float32)
+    z2_lv = (rng.normal(size=(B, D2)) * 0.3).astype(np.float32)
+    z1 = rng.normal(size=(B, D1)).astype(np.float32)
+    z2 = rng.normal(size=(B, D2)).astype(np.float32)
+    z1_p_mu = rng.normal(size=(B, D1)).astype(np.float32)
+    z1_p_lv = (rng.normal(size=(B, D1)) * 0.3).astype(np.float32)
+
+    ref = ref_mods_hier["hvae"].HVAE(3, latent1_dim=D1, latent2_dim=D2)
+
+    class Pinned(torch.nn.Module):
+        def __init__(self, value):
+            super().__init__()
+            self.value = torch.from_numpy(value)
+
+        def forward(self, t):
+            return self.value
+
+    ref.recons_z1_mu = Pinned(z1_p_mu)
+    ref.recons_z1_log_var = Pinned(z1_p_lv)
+    r = ref.loss_function(_nchw(rec), _nchw(x), torch.from_numpy(z1_mu),
+                          torch.from_numpy(z1_lv), torch.from_numpy(z2_mu),
+                          torch.from_numpy(z2_lv), torch.from_numpy(z1),
+                          torch.from_numpy(z2), M_N=0.005)
+
+    ours = vae_models["HVAE"](in_channels=3, latent1_dim=D1,
+                              latent2_dim=D2).loss_function(
+        {"recons": jnp.asarray(rec), "input": jnp.asarray(x),
+         "z1_mu": jnp.asarray(z1_mu), "z1_log_var": jnp.asarray(z1_lv),
+         "z2_mu": jnp.asarray(z2_mu), "z2_log_var": jnp.asarray(z2_lv),
+         "z1": jnp.asarray(z1), "z1_p_mu": jnp.asarray(z1_p_mu),
+         "z1_p_log_var": jnp.asarray(z1_p_lv)}, M_N=0.005)
+    _close(r["loss"], ours["loss"])
+    _close(r["KLD"], ours["KLD"])
+
+
+def test_vampvae_loss_parity(ref_mods_hier):
+    """VampPrior mixture KL with the pseudo-input encoder pinned to
+    fixed prior parameters on both sides (.cuda() stubbed to identity)."""
+    import jax.numpy as jnp
+    from ctvae_tpu.models import vae_models
+
+    B, D, K = 6, 5, 7
+    rng = np.random.default_rng(8)
+    x, rec = _imgs((B, 16, 16, 3), 8), _imgs((B, 16, 16, 3), 9)
+    mu = rng.normal(size=(B, D)).astype(np.float32)
+    lv = (rng.normal(size=(B, D)) * 0.3).astype(np.float32)
+    z = rng.normal(size=(B, D)).astype(np.float32)
+    prior_mu = rng.normal(size=(K, D)).astype(np.float32)
+    prior_lv = (rng.normal(size=(K, D)) * 0.3).astype(np.float32)
+
+    ref = ref_mods_hier["vampvae"].VampVAE(3, D, num_components=K)
+    ref.encode = lambda t: (torch.from_numpy(prior_mu),
+                            torch.from_numpy(prior_lv))
+    orig_cuda = torch.Tensor.cuda
+    torch.Tensor.cuda = lambda self, *a, **k: self   # loss calls .cuda()
+    try:
+        r = ref.loss_function(_nchw(rec), _nchw(x), torch.from_numpy(mu),
+                              torch.from_numpy(lv), torch.from_numpy(z),
+                              M_N=0.005)
+    finally:
+        torch.Tensor.cuda = orig_cuda
+
+    ours = vae_models["VampVAE"](in_channels=3, latent_dim=D,
+                                 num_components=K).loss_function(
+        {"recons": jnp.asarray(rec), "input": jnp.asarray(x),
+         "mu": jnp.asarray(mu), "log_var": jnp.asarray(lv),
+         "z": jnp.asarray(z), "prior_mu": jnp.asarray(prior_mu),
+         "prior_log_var": jnp.asarray(prior_lv)}, M_N=0.005)
+    _close(r["loss"], ours["loss"])
+    _close(r["KLD"], ours["KLD"])
+
+
+@pytest.fixture(scope="module")
+def ref_mods_hier(ref_mods):
+    import importlib
+    return {"hvae": importlib.import_module("models.hvae"),
+            "vampvae": importlib.import_module("models.vampvae")}
