@@ -127,8 +127,6 @@ class VAEXperiment:
         from ..data.prefetch import prefetch_to_device
 
         n_opt = len(self.txs)
-        running: Dict[str, float] = {}
-        count = 0
         t0 = time.perf_counter()
         images = 0
         for batch in prefetch_to_device(self.data.train_dataloader(epoch),
@@ -140,7 +138,6 @@ class VAEXperiment:
                 self.state, metrics = step(self.state, sbatch)
             images += int(sbatch["image"].shape[0])
             self.global_step += 1
-            count += 1
             if self.logger is not None and \
                     self.global_step % self.log_every == 0:
                 logged = dict(jax.device_get(metrics))
@@ -148,9 +145,7 @@ class VAEXperiment:
                     suffix = "" if i == 0 else f"_{i + 1}"
                     logged[f"lr{suffix}"] = np.float32(
                         sched(self.global_step))
-                scalars = self.logger.log_all(logged, self.global_step)
-                for k, v in scalars.items():
-                    running[k] = running.get(k, 0.0) + v
+                self.logger.log_all(logged, self.global_step)
         host = {k: float(v) for k, v in jax.device_get(metrics).items()
                 if np.ndim(v) == 0}
         dt = time.perf_counter() - t0
