@@ -86,7 +86,7 @@ class CheckpointManager:
                 if self._index["best"] else None}.get(which, which)
         if path is None or not os.path.exists(path):
             raise FileNotFoundError(f"no checkpoint at {path!r}")
-        return _checkpointer().restore(path, item=target)
+        return _checkpointer().restore(os.path.abspath(path), item=target)
 
 
 def load_weights_only(path: str, params: Any) -> Any:
@@ -96,7 +96,7 @@ def load_weights_only(path: str, params: Any) -> Any:
     else keeps its fresh initialization. This is the JAX rendering of the
     reference's strip-``model.``-prefix + ``strict=False`` load
     (/root/reference/run.py:86-89)."""
-    raw = _checkpointer().restore(path)
+    raw = _checkpointer().restore(os.path.abspath(path))
     src = raw.get("params", raw) if isinstance(raw, dict) else raw
 
     def merge(dst_node, src_node):

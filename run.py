@@ -99,7 +99,9 @@ def main():
             experiment.state = ckpt.restore(
                 jax.device_get(experiment.state), which=resume)
             experiment.state = jax.device_put(experiment.state)
-            print(f"=> resumed full state from {resume}")
+            experiment.global_step = int(experiment.state.step)
+            print(f"=> resumed full state from {resume} "
+                  f"(step {experiment.global_step})")
 
     max_epochs = int(trainer_params.get("max_epochs", 100))
     print(f"======= Training {model_params.get('name')} "

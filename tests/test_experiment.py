@@ -116,3 +116,25 @@ def test_logger_routes_scalars_and_images(tmp_path):
     lg.finish()
     files = os.listdir(lg.log_dir)
     assert any(f.startswith("events") for f in files)
+
+
+def test_full_state_resume_roundtrip(tmp_path):
+    """Full-state restore: params, optimizer state, AND the step counter
+    survive (the reference's trainer_params.resume_from_checkpoint)."""
+    import jax
+
+    exp, ckpt = _tiny_experiment(tmp_path)
+    exp.fit(max_epochs=1)
+    step_before = int(exp.state.step)
+    assert step_before > 0
+
+    exp2, _ = _tiny_experiment(tmp_path / "b")
+    first = next(iter(exp2.data.train_dataloader(0)))
+    exp2.setup(first)
+    restored = ckpt.restore(jax.device_get(exp2.state), which="last")
+    assert int(restored.step) == step_before
+    a = jax.tree_util.tree_leaves(jax.device_get(exp.state.opt_states))
+    b = jax.tree_util.tree_leaves(restored.opt_states)
+    assert len(a) == len(b)
+    for x, y in zip(a, b):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), rtol=1e-6)
