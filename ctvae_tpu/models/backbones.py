@@ -21,7 +21,7 @@ models (SURVEY.md §2.3 note).
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Sequence
 
 import flax.linen as nn
 import jax

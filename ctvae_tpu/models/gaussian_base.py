@@ -12,7 +12,7 @@ reparameterization (/root/reference/models/wae_mmd.py:81-94).
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Sequence
+from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp

@@ -8,7 +8,6 @@ from __future__ import annotations
 
 from typing import Dict
 
-import jax
 
 from .base import Array, ModelOutput, gaussian_kl, mse_loss
 from .gaussian_base import StandardGaussianVAE

@@ -15,7 +15,6 @@ single-knob replacement for the reference's comp/mem switch).
 
 from __future__ import annotations
 
-import functools
 from typing import Optional
 
 import jax
