@@ -8,6 +8,11 @@ flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
+# persistent compilation cache: repeat suite runs (and the CLI tests'
+# subprocesses) reuse compiled executables instead of re-compiling the
+# CT model for ~minutes each on the single-core CI host
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/ctvae_jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
 
 import jax  # noqa: E402  (import after env setup)
 

@@ -40,8 +40,13 @@ def _config(tmp, logdir, **exp_extra):
     return path
 
 
-def _run(args, cwd=REPO, timeout=540):
-    env = dict(os.environ, JAX_PLATFORMS="cpu")
+def _run(args, cwd=REPO, timeout=1500):
+    # persistent compilation cache: the three subprocesses share compiled
+    # executables instead of re-tracing the CT model from scratch each
+    # time (wall-clock dominated by XLA compiles on the single-core CI)
+    env = dict(os.environ, JAX_PLATFORMS="cpu",
+               JAX_COMPILATION_CACHE_DIR="/tmp/ctvae_jax_cache",
+               JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS="2")
     r = subprocess.run([sys.executable] + args, capture_output=True,
                        text=True, cwd=cwd, env=env, timeout=timeout)
     assert r.returncode == 0, r.stdout[-800:] + r.stderr[-2000:]
