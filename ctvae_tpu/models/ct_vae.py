@@ -118,15 +118,16 @@ class CausalTransition(nn.Module):
     # ------------------------------------------------------------------
 
     def pos_encoding(self, x: Array, *, train: bool) -> Array:
-        out = x + self.pe_table[None, : x.shape[1], :]
-        return self.pe_dropout(out, deterministic=not train)
+        pe = self.pe_table[None, : x.shape[1], :].astype(x.dtype)
+        return self.pe_dropout(x + pe, deterministic=not train)
 
     def _compute_mask(self, one_hot_latent: Array, action: Array, *,
                       train: bool) -> Array:
         """Gumbel-hard per-variable intervention mask [B, S, 1]
         (reference :117-127)."""
         B, S, N = one_hot_latent.shape
-        a_rep = jnp.repeat(action[:, None, :].astype(jnp.float32), S, axis=1)
+        a_rep = jnp.repeat(action[:, None, :].astype(one_hot_latent.dtype),
+                           S, axis=1)
         pos_embed = self.pos_encoding(jnp.zeros_like(one_hot_latent),
                                       train=train)
         inter_mask = jax.nn.sigmoid(
@@ -175,7 +176,7 @@ class CausalTransition(nn.Module):
                    mask: Array, *, train: bool) -> Array:
         """GNN transition + action-head selection (reference :188-228)."""
         B, S, N = latent.shape
-        action = action.astype(jnp.float32)
+        action = action.astype(self.dtype)
         action_node = self.a_dense(action)                       # [B, N]
         if self.noise == "exo":
             latent = latent + jax.random.normal(self.make_rng("noise"),
@@ -394,7 +395,8 @@ class CTMCQVAE(BaseVAE):
         """int inds [B, K, h, w] -> one-hot sequence [B, K*h*w, N]
         (reference :472-483; site order (k, h, w) row-major matches)."""
         B = inds.shape[0]
-        one_hot = jax.nn.one_hot(inds, self.num_embeddings, dtype=jnp.float32)
+        one_hot = jax.nn.one_hot(inds, self.num_embeddings,
+                                 dtype=self.dtype)
         return one_hot.reshape(B, -1, self.num_embeddings)
 
     def ct_postprocess(self, seq: Array) -> Array:
