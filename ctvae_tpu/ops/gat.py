@@ -38,6 +38,10 @@ class DenseGATv2Layer(nn.Module):
     dtype: jnp.dtype = jnp.float32
     block_cols: int = 0   # >0: chunk the target axis; bounds the
                           # [B,S,block,H,F] pre-activation workspace
+    fused_logits: bool = True   # fuse the attention reduction so the
+                                # [B,S,T,H,F] pre-activation never hits
+                                # HBM (recomputed in backward); False =
+                                # plain einsum (used by parity tests)
 
     @nn.compact
     def __call__(self, x: Array, adj: Array) -> Array:
@@ -56,12 +60,32 @@ class DenseGATv2Layer(nn.Module):
                          self.dtype)
         bias = self.param("bias", nn.initializers.zeros, (H * F,), self.dtype)
 
+        ns = self.negative_slope
+
+        def _logits(xl_: Array, xr_cols: Array, adj_cols: Array,
+                    we_: Array, att_: Array) -> Array:
+            """xl_ [B,S,H,F], xr_cols [B,C,H,F], adj_cols [B,S,C]
+            -> [B, S, C, H]."""
+            pre = (xl_[:, :, None, :, :] + xr_cols[:, None, :, :, :]
+                   + adj_cols[:, :, :, None, None] * we_)
+            act = nn.leaky_relu(pre, ns)
+            if self.fused_logits:
+                # elementwise-multiply + sum lets XLA fuse the whole chain
+                # into one reduction loop: the [B,S,C,H,F] pre-activation
+                # is never materialized in HBM (an einsum would route the
+                # contraction to the MXU and force the materialization —
+                # this op is bandwidth-bound, not FLOP-bound, so the VPU
+                # reduction wins; measured in scripts/bench_gat.py)
+                return jnp.sum(act * att_, axis=-1)
+            return jnp.einsum("bschf,hf->bsch", act, att_)
+
+        if self.fused_logits:
+            # recompute (cheap) instead of saving the pre-activation for
+            # the leaky_relu backward
+            _logits = jax.checkpoint(_logits)
+
         def logits_for(adj_cols: Array, xr_cols: Array) -> Array:
-            """adj_cols [B, S, C], xr_cols [B, C, H, F] -> [B, S, C, H]."""
-            pre = (xl[:, :, None, :, :] + xr_cols[:, None, :, :, :]
-                   + adj_cols[:, :, :, None, None].astype(self.dtype) * we)
-            return jnp.einsum("bschf,hf->bsch",
-                              nn.leaky_relu(pre, self.negative_slope), att)
+            return _logits(xl, xr_cols, adj_cols.astype(self.dtype), we, att)
 
         if self.block_cols and self.block_cols < T:
             nb = -(-T // self.block_cols)

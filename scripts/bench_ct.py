@@ -1,0 +1,68 @@
+"""End-to-end timing of the CT-MCQ-VAE *action* train step on the real
+chip (the deepest path in the framework, reference
+/root/reference/models/ct_mcq_vae.py:525-546), at the headline config
+(configs/ct_mcq_vae.yaml).
+
+Used to evaluate kernel/formulation changes against the number that
+matters (full-step wall time), not micro-benchmarks.
+
+Run: python scripts/bench_ct.py [batch]
+"""
+
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ctvae_tpu.models import vae_models
+from ctvae_tpu.training import create_train_state, make_train_step
+
+BATCH = int(sys.argv[1]) if len(sys.argv) > 1 else 16
+IMG = 64
+STEPS = 100
+
+
+def main():
+    model = vae_models["CTMCQVAE"](
+        in_channels=3, embedding_dim=128, action_dim=12,
+        hidden_dims=(64, 128, 256), num_embeddings=64, img_size=IMG,
+        codebooks=1, beta=0.1, gamma=1.5, c_alpha=0.01, c_beta=0.4,
+        c_delta=0.01, c_epsilon=0.1, noise="off", dtype=jnp.bfloat16)
+    rng = jax.random.PRNGKey(0)
+    k1, k2, k3 = jax.random.split(rng, 3)
+    batch = {
+        "image": jax.random.uniform(k1, (BATCH, IMG, IMG, 3), jnp.float32),
+        "input_y": jax.random.uniform(k2, (BATCH, IMG, IMG, 3), jnp.float32),
+        "action": jax.nn.one_hot(
+            jax.random.randint(k3, (BATCH,), 0, 12), 12),
+    }
+    txs = [optax.adam(5e-4)]
+    state = create_train_state(model, rng, batch, txs,
+                               fwd_kwargs_keys=("input_y", "action", "mode"))
+    step = jax.jit(
+        make_train_step(model, txs, M_N=0.00025,
+                        fwd_kwargs_keys=("input_y", "action"),
+                        static_fwd_kwargs={"mode": "action"}),
+        donate_argnums=0)
+
+    compiled = step.lower(state, batch).compile()
+    for _ in range(5):
+        state, metrics = compiled(state, batch)
+    _ = float(metrics["loss"])
+    t0 = time.perf_counter()
+    _ = float(metrics["loss"])
+    rtt = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    for _ in range(STEPS):
+        state, metrics = compiled(state, batch)
+    final = float(metrics["loss"])
+    dt = max(time.perf_counter() - t0 - rtt, 1e-9)
+    assert final == final
+    print(f"batch={BATCH}  {dt / STEPS * 1e3:.3f} ms/step  "
+          f"{STEPS * BATCH / dt:.0f} img/s")
+
+
+if __name__ == "__main__":
+    main()
