@@ -196,12 +196,17 @@ class CausalTransition(nn.Module):
         nodes_y = self.graph_transitioner(nodes, padded_adj)     # [B,S+vs,(A+1)N]
         nodes_y = nodes_y[:, :S, :]
 
-        # head selection: head 0 = no-intervention, head 1+a = action a
+        # head selection: head 0 = no-intervention, head 1+a = action a.
+        # A per-batch dynamic gather is the natural spelling but compiles
+        # to the slowest kernel of the whole action step on TPU (profiled
+        # 13% of step time, scripts/profile_ct.py); the hard one-hot
+        # contraction below is exactly equivalent (one 1 per row) and
+        # fuses into a broadcast-multiply-reduce with a cheap backward.
         action_arg = jnp.argmax(action, axis=-1)                 # [B]
-        start = (action_arg + 1) * N
-        gather_idx = start[:, None, None] + jnp.arange(N)[None, None, :]
-        selected = jnp.take_along_axis(
-            nodes_y, jnp.broadcast_to(gather_idx, (B, S, N)), axis=-1)
+        sel = jax.nn.one_hot(action_arg, self.action_dim,
+                             dtype=nodes_y.dtype)                # [B, A]
+        heads = nodes_y.reshape(B, S, 1 + self.action_dim, N)
+        selected = jnp.einsum("bsan,ba->bsn", heads[:, :, 1:], sel)
         mixed = nodes_y[..., :N] * (1 - mask) + selected * mask
         return jax.nn.softmax(mixed, axis=-1)
 
