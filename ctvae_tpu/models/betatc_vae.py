@@ -46,7 +46,29 @@ class BetaTCVAE(BaseVAE):
     def _feat_hw(self) -> int:
         return self.img_size // (2 ** len(self._hdims))
 
-    @nn.compact
+    def setup(self):
+        # All submodules live in setup() (not @nn.compact) so that
+        # decode/sample/generate can run outside __call__ — the training
+        # CLI's sample_images drives model.sample directly. Index-based
+        # names: the reference default hidden_dims=[32,32,32,32] repeats
+        # widths, so width-based names would collide.
+        hd = self._hdims
+        self.enc_convs = [
+            nn.Conv(h, (4, 4), strides=(2, 2), padding="SAME",
+                    dtype=self.dtype) for h in hd]
+        self.fc = nn.Dense(256, dtype=self.dtype)
+        self.fc_mu = nn.Dense(self.latent_dim, dtype=self.dtype)
+        self.fc_var = nn.Dense(self.latent_dim, dtype=self.dtype)
+        self.decoder_input = nn.Dense(hd[-1] * self._feat_hw * self._feat_hw,
+                                      dtype=self.dtype)
+        self.dec_convs = [
+            nn.ConvTranspose(h, (3, 3), strides=(2, 2), padding="SAME",
+                             dtype=self.dtype) for h in list(hd)[::-1][1:]]
+        self.dec_final_up = nn.ConvTranspose(hd[0], (3, 3), strides=(2, 2),
+                                             padding="SAME", dtype=self.dtype)
+        self.dec_final_conv = nn.Conv(self.in_channels, (3, 3),
+                                      padding="SAME", dtype=self.dtype)
+
     def __call__(self, x: Array, *, train: bool = False, **kwargs) -> ModelOutput:
         mu, log_var = self._encode(x)
         if train:
@@ -58,30 +80,23 @@ class BetaTCVAE(BaseVAE):
                 "z": z}
 
     def _encode(self, x: Array):
-        for h in self._hdims:
-            x = nn.Conv(h, (4, 4), strides=(2, 2), padding="SAME",
-                        dtype=self.dtype, name=f"enc_{h}_{x.shape[-1]}")(x)
-            x = leaky_relu(x)
+        for conv in self.enc_convs:
+            x = leaky_relu(conv(x))
         x = x.reshape(x.shape[0], -1)
-        x = nn.Dense(256, dtype=self.dtype, name="fc")(x)
-        mu = nn.Dense(self.latent_dim, dtype=self.dtype, name="fc_mu")(x)
-        lv = nn.Dense(self.latent_dim, dtype=self.dtype, name="fc_var")(x)
+        x = self.fc(x)
+        mu = self.fc_mu(x)
+        lv = self.fc_var(x)
         return mu.astype(jnp.float32), lv.astype(jnp.float32)
 
     def _decode(self, z: Array) -> Array:
         hd = list(self._hdims)
         hw = self._feat_hw
-        x = nn.Dense(hd[-1] * hw * hw, dtype=self.dtype, name="decoder_input")(z)
+        x = self.decoder_input(z)
         x = x.reshape(z.shape[0], hw, hw, hd[-1])
-        for i, h in enumerate(hd[::-1][1:]):
-            x = nn.ConvTranspose(h, (3, 3), strides=(2, 2), padding="SAME",
-                                 dtype=self.dtype, name=f"dec_{i}")(x)
-            x = leaky_relu(x)
-        x = nn.ConvTranspose(hd[0], (3, 3), strides=(2, 2), padding="SAME",
-                             dtype=self.dtype, name="dec_final_up")(x)
-        x = leaky_relu(x)
-        x = nn.Conv(self.in_channels, (3, 3), padding="SAME",
-                    dtype=self.dtype, name="dec_final_conv")(x)
+        for conv in self.dec_convs:
+            x = leaky_relu(conv(x))
+        x = leaky_relu(self.dec_final_up(x))
+        x = self.dec_final_conv(x)
         return jnp.tanh(x).astype(jnp.float32)
 
     def encode(self, x: Array, *, train: bool = False):
