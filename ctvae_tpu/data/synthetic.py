@@ -41,30 +41,39 @@ def render_factor_images(factors: np.ndarray, img_size: int = 64,
     return imgs
 
 
+def render_random_family(factors: np.ndarray, img_size: int = 64,
+                         channels: int = 3) -> np.ndarray:
+    """Render [N, 4] (x-pos/8, y-pos/8, scale/4, hue/6) factor rows to
+    images — the pure rendering function behind ``make_synthetic_images``,
+    exposed so metrics can sample observations for arbitrary factor
+    combinations (fixed-factor sampling, FactorVAE score / DCI)."""
+    factors = np.asarray(factors)
+    n = len(factors)
+    imgs = np.zeros((n, img_size, img_size, channels), np.float32)
+    yy, xx = np.mgrid[0:img_size, 0:img_size].astype(np.float32) / img_size
+    for i, (fx, fy, fs, fh) in enumerate(factors):
+        base = 0.25 + 0.5 * (xx * ((fh % 3) + 1) / 3.0)
+        img = np.stack([base * (0.5 + 0.5 * (c == fh % channels))
+                        for c in range(channels)], axis=-1)
+        cx = int((fx + 0.5) * img_size / 8)
+        cy = int((fy + 0.5) * img_size / 8)
+        half = 3 + 2 * int(fs)
+        x0, x1 = max(0, cx - half), min(img_size, cx + half)
+        y0, y1 = max(0, cy - half), min(img_size, cy + half)
+        img[y0:y1, x0:x1, :] = (fh + 1) / 6.0
+        imgs[i] = img
+    return imgs
+
+
 def make_synthetic_images(n: int, img_size: int = 64, channels: int = 3,
                           seed: int = 0) -> Tuple[np.ndarray, np.ndarray]:
     """Returns (images [n,H,W,C] float32 in [0,1], factors [n,4] int)."""
     rng = np.random.default_rng(seed)
     # factors: x-pos (8), y-pos (8), scale (4), hue (6)
-    fx = rng.integers(0, 8, n)
-    fy = rng.integers(0, 8, n)
-    fs = rng.integers(0, 4, n)
-    fh = rng.integers(0, 6, n)
-    imgs = np.zeros((n, img_size, img_size, channels), np.float32)
-    yy, xx = np.mgrid[0:img_size, 0:img_size].astype(np.float32) / img_size
-    for i in range(n):
-        base = 0.25 + 0.5 * (xx * ((fh[i] % 3) + 1) / 3.0)
-        img = np.stack([base * (0.5 + 0.5 * (c == fh[i] % channels))
-                        for c in range(channels)], axis=-1)
-        cx = int((fx[i] + 0.5) * img_size / 8)
-        cy = int((fy[i] + 0.5) * img_size / 8)
-        half = 3 + 2 * int(fs[i])
-        x0, x1 = max(0, cx - half), min(img_size, cx + half)
-        y0, y1 = max(0, cy - half), min(img_size, cy + half)
-        img[y0:y1, x0:x1, :] = (fh[i] + 1) / 6.0
-        imgs[i] = img
-    factors = np.stack([fx, fy, fs, fh], axis=1).astype(np.int64)
-    return imgs, factors
+    factors = np.stack([rng.integers(0, 8, n), rng.integers(0, 8, n),
+                        rng.integers(0, 4, n), rng.integers(0, 6, n)],
+                       axis=1).astype(np.int64)
+    return render_random_family(factors, img_size, channels), factors
 
 
 class SyntheticDataset:
@@ -93,6 +102,14 @@ class SyntheticDataset:
 
     def __getitem__(self, idx: int):
         return self.images[idx], self.factors[idx]
+
+    def observations_from_factors(self, factors: np.ndarray) -> np.ndarray:
+        """Procedural re-render for arbitrary factor combinations — lets
+        the disentanglement metrics do fixed-factor sampling without a
+        complete grid on disk."""
+        return render_random_family(factors, self.images.shape[1],
+                                    self.images.shape[3])
+
 
 class SyntheticGridDataset:
     """Complete factor grid (row-major) of rendered images — a miniature

@@ -34,6 +34,9 @@ class GroundTruthSampler:
         self.factor_sizes = tuple(dataset.factor_sizes)
         self.rng = rng or np.random.default_rng(0)
         self._grid = hasattr(dataset, "factor_to_index")
+        # procedural datasets can render arbitrary factor combinations
+        self._own = (not self._grid
+                     and hasattr(dataset, "observations_from_factors"))
 
     def sample_factors(self, n: int) -> Array:
         return np.stack([self.rng.integers(0, s, n)
@@ -48,10 +51,14 @@ class GroundTruthSampler:
                 return self.ds.transform.batch(raws)
             return np.stack([self.ds.transform(self.ds.images_raw[int(i)])
                              for i in raw])
-        raise NotImplementedError("fixed-factor sampling needs a grid dataset")
+        if self._own:
+            return np.asarray(self.ds.observations_from_factors(factors))
+        raise NotImplementedError(
+            "fixed-factor sampling needs a grid dataset or a dataset-"
+            "provided observations_from_factors")
 
     def sample(self, n: int) -> Tuple[Array, Array]:
-        if self._grid:
+        if self._grid or self._own:
             f = self.sample_factors(n)
             return f, self.observations_from_factors(f)
         idx = self.rng.integers(0, len(self.ds), n)
