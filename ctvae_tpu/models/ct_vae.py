@@ -172,6 +172,27 @@ class CausalTransition(nn.Module):
             [adj, jnp.zeros((B, vs, S + vs), adjacency.dtype)], axis=1)
         return adj
 
+    def _compute_y_identity(self, latent: Array, *, train: bool) -> Array:
+        """Exact closed form of ``_compute_y`` for the identity adjacency
+        (the base-mode regularizer pass, reference :231-255 with
+        action=0): each variable's only incoming edge is its self-edge,
+        so the GATv2 stack collapses to per-node linear layers
+        (ops/gat.py identity_call — identical values AND gradients), and
+        the support/action nodes never influence variable outputs (no
+        outgoing edges). With mask == 0 the head-mix reduces to head 0.
+        O(S F^2 H) instead of O(S^2 H F) per layer."""
+        B, S, N = latent.shape
+        if self.noise == "exo":
+            latent = latent + jax.random.normal(self.make_rng("noise"),
+                                                latent.shape, latent.dtype)
+        elif self.noise == "endo":
+            # the endo noise node has no outgoing edges; draw and discard
+            # to keep the "noise" stream call count identical to the
+            # general path (later draws stay bit-identical)
+            jax.random.normal(self.make_rng("noise"), (B, N), latent.dtype)
+        nodes_y = self.graph_transitioner.identity_forward(latent)
+        return jax.nn.softmax(nodes_y[..., :N], axis=-1)
+
     def _compute_y(self, latent: Array, action: Array, adjacency: Array,
                    mask: Array, *, train: bool) -> Array:
         """GNN transition + action-head selection (reference :188-228)."""
@@ -228,7 +249,7 @@ class CausalTransition(nn.Module):
                                    train=train)
 
         identity = jnp.broadcast_to(jnp.eye(S, dtype=latent.dtype), (B, S, S))
-        y_id = self._compute_y(pos_latent, action, identity, mask, train=train)
+        y_id = self._compute_y_identity(pos_latent, train=train)
         ct_reg = self.c_alpha * (
             cross_entropy_from_probs(y_id.reshape(-1, N),
                                      jnp.argmax(latent.reshape(-1, N), -1))

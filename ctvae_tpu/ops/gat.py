@@ -43,22 +43,37 @@ class DenseGATv2Layer(nn.Module):
                                 # HBM (recomputed in backward); False =
                                 # plain einsum (used by parity tests)
 
-    @nn.compact
+    def setup(self):
+        # setup() (not @nn.compact) so identity_call can share the params
+        H, F = self.heads, self.out_features
+        self.lin_l = nn.Dense(H * F, dtype=self.dtype)
+        self.lin_r = nn.Dense(H * F, dtype=self.dtype)
+        # edge_dim=1: We maps the scalar weight to [H, F]
+        self.we = self.param("lin_edge", nn.initializers.lecun_normal(),
+                             (1, H * F), self.dtype)
+        self.att = self.param("att", nn.initializers.lecun_normal(), (H, F),
+                              self.dtype)
+        self.bias = self.param("bias", nn.initializers.zeros, (H * F,),
+                               self.dtype)
+
+    def identity_call(self, x: Array) -> Array:
+        """Exact fast path for an identity adjacency (each target's only
+        incoming edge is its self-edge): the softmax over a singleton is
+        identically 1 — independent of the logits, so no value OR gradient
+        flows through lin_r / att / lin_edge — and the layer collapses to
+        ``lin_l(x) + bias``. O(T F^2 H) instead of O(T^2 H F)."""
+        return self.lin_l(x) + self.bias
+
     def __call__(self, x: Array, adj: Array) -> Array:
         """x: [B, T, Fin], adj: [B, T, T] (adj[b, s, t] = edge s->t).
         Returns [B, T, heads * out_features]."""
         B, T, _ = x.shape
         H, F = self.heads, self.out_features
-        xl = nn.Dense(H * F, name="lin_l", dtype=self.dtype)(x)
-        xr = nn.Dense(H * F, name="lin_r", dtype=self.dtype)(x)
-        xl = xl.reshape(B, T, H, F)
-        xr = xr.reshape(B, T, H, F)
-        # edge_dim=1: We maps the scalar weight to [H, F]
-        we = self.param("lin_edge", nn.initializers.lecun_normal(),
-                        (1, H * F), self.dtype).reshape(H, F)
-        att = self.param("att", nn.initializers.lecun_normal(), (H, F),
-                         self.dtype)
-        bias = self.param("bias", nn.initializers.zeros, (H * F,), self.dtype)
+        xl = self.lin_l(x).reshape(B, T, H, F)
+        xr = self.lin_r(x).reshape(B, T, H, F)
+        we = self.we.reshape(H, F)
+        att = self.att
+        bias = self.bias
 
         ns = self.negative_slope
 
@@ -129,12 +144,32 @@ class GATv2Stack(nn.Module):
     dtype: jnp.dtype = jnp.float32
     block_cols: int = 0
 
-    @nn.compact
+    def setup(self):
+        # attribute names keep the historical auto-generated paths
+        # (DenseGATv2Layer_0, _1, ...) so checkpoints stay loadable
+        dims = list(self.hidden) + [self.input_dim]
+        for i, dim in enumerate(dims):
+            setattr(self, f"DenseGATv2Layer_{i}",
+                    DenseGATv2Layer(dim, heads=self.heads, dtype=self.dtype,
+                                    block_cols=self.block_cols))
+        self._n_layers = len(dims)
+
+    def _layers(self):
+        return [getattr(self, f"DenseGATv2Layer_{i}")
+                for i in range(self._n_layers)]
+
     def __call__(self, x: Array, adj: Array) -> Array:
-        for dim in self.hidden:
-            x = DenseGATv2Layer(dim, heads=self.heads, dtype=self.dtype,
-                                block_cols=self.block_cols)(x, adj)
-            x = nn.leaky_relu(x, negative_slope=0.01)
-        return DenseGATv2Layer(self.input_dim, heads=self.heads,
-                               dtype=self.dtype,
-                               block_cols=self.block_cols)(x, adj)
+        *hidden_layers, last = self._layers()
+        for layer in hidden_layers:
+            x = nn.leaky_relu(layer(x, adj), negative_slope=0.01)
+        return last(x, adj)
+
+    def identity_forward(self, x: Array) -> Array:
+        """The stack under an identity adjacency (see
+        DenseGATv2Layer.identity_call): exact, with no support nodes
+        needed — they have no outgoing edges, so variable outputs never
+        depend on them."""
+        *hidden_layers, last = self._layers()
+        for layer in hidden_layers:
+            x = nn.leaky_relu(layer.identity_call(x), negative_slope=0.01)
+        return last.identity_call(x)

@@ -6,7 +6,7 @@ chip (the deepest path in the framework, reference
 Used to evaluate kernel/formulation changes against the number that
 matters (full-step wall time), not micro-benchmarks.
 
-Run: python scripts/bench_ct.py [batch]
+Run: python scripts/bench_ct.py [batch] [mode]
 """
 
 import sys
@@ -20,6 +20,7 @@ from ctvae_tpu.models import vae_models
 from ctvae_tpu.training import create_train_state, make_train_step
 
 BATCH = int(sys.argv[1]) if len(sys.argv) > 1 else 16
+MODE = sys.argv[2] if len(sys.argv) > 2 else "action"
 IMG = 64
 STEPS = 100
 
@@ -43,8 +44,9 @@ def main():
                                fwd_kwargs_keys=("input_y", "action", "mode"))
     step = jax.jit(
         make_train_step(model, txs, M_N=0.00025,
-                        fwd_kwargs_keys=("input_y", "action"),
-                        static_fwd_kwargs={"mode": "action"}),
+                        fwd_kwargs_keys=(("input_y", "action")
+                                         if MODE != "base" else ()),
+                        static_fwd_kwargs={"mode": MODE}),
         donate_argnums=0)
 
     compiled = step.lower(state, batch).compile()
@@ -60,7 +62,7 @@ def main():
     final = float(metrics["loss"])
     dt = max(time.perf_counter() - t0 - rtt, 1e-9)
     assert final == final
-    print(f"batch={BATCH}  {dt / STEPS * 1e3:.3f} ms/step  "
+    print(f"batch={BATCH} mode={MODE}  {dt / STEPS * 1e3:.3f} ms/step  "
           f"{STEPS * BATCH / dt:.0f} img/s")
 
 

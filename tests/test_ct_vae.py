@@ -194,3 +194,40 @@ def test_latent_walk():
                       method=model.walk)
     assert out.shape == (12, 16, 16, 3)
     assert bool(jnp.all(jnp.isfinite(out)))
+
+
+@pytest.mark.parametrize("noise", ["off", "exo", "endo"])
+def test_identity_fast_path_matches_general(noise):
+    """The closed-form identity pass (_compute_y_identity) must equal the
+    general _compute_y under an identity adjacency — values and
+    gradients (the GAT softmax over a single self-edge is identically 1,
+    so lin_r/att/lin_edge receive zero gradient either way)."""
+    ct = CausalTransition(input_dim=8, action_dim=4, latent_dims=(16, 8),
+                          noise=noise)
+    B, S, N = 2, 6, 8
+    latent = jax.nn.one_hot(
+        jnp.asarray(np.random.default_rng(3).integers(0, N, (B, S))), N)
+    variables = ct.init({"params": jax.random.PRNGKey(0), **RNGS}, latent)
+    action = jnp.zeros((B, 4), latent.dtype)
+    mask = jnp.zeros((B, S, 1), latent.dtype)
+    identity = jnp.broadcast_to(jnp.eye(S, dtype=latent.dtype), (B, S, S))
+
+    def general(v):
+        return ct.apply(v, latent, action, identity, mask, train=False,
+                        rngs=RNGS, method=ct._compute_y)
+
+    def fast(v):
+        return ct.apply(v, latent, train=False, rngs=RNGS,
+                        method=ct._compute_y_identity)
+
+    np.testing.assert_allclose(np.asarray(fast(variables)),
+                               np.asarray(general(variables)),
+                               rtol=1e-6, atol=1e-6)
+    g_gen = jax.grad(lambda v: jnp.sum(jnp.square(general(v))))(variables)
+    g_fast = jax.grad(lambda v: jnp.sum(jnp.square(fast(v))))(variables)
+    for (kp, a), (_, b) in zip(
+            jax.tree_util.tree_leaves_with_path(g_gen),
+            jax.tree_util.tree_leaves_with_path(g_fast)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6,
+                                   err_msg=jax.tree_util.keystr(kp))
