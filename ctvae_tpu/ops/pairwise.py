@@ -34,13 +34,20 @@ def pairwise_mlp_scores(x_left: Array, x_right: Array, w2: Array, b2: Array,
     Returns sigmoid(leaky(x_left[s] + x_right[t] + b1) @ w2 + b2): [B, S, S].
     """
     B, S, H = x_left.shape
+    w2b = jnp.broadcast_to(w2, (B, H)) if w2.ndim <= 2 else w2
 
+    @jax.checkpoint
     def rows(chunk):  # chunk: [B, C, H] of left rows
         pre = chunk[:, :, None, :] + x_right[:, None, :, :] + b1[..., None, None, :]
         act = jax.nn.leaky_relu(pre, negative_slope)
+        # fused multiply + VPU sum (not an einsum): the [B, C, S, H]
+        # pre-activation never reaches HBM — an MXU contraction would
+        # force its materialization, and at H=800 the op is bandwidth-
+        # bound, not FLOP-bound (same finding as ops/gat.py fused_logits,
+        # measured in scripts/bench_ct.py). jax.checkpoint recomputes it
+        # in backward instead of saving it.
         return jax.nn.sigmoid(
-            jnp.einsum("bcth,b...h->bct", act,
-                       jnp.broadcast_to(w2, (B, H)) if w2.ndim <= 2 else w2)
+            jnp.sum(act * w2b[..., None, None, :], axis=-1)
             + b2[..., None, None])
 
     if block_rows is None or block_rows >= S:
