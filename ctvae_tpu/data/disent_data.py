@@ -28,7 +28,7 @@ from __future__ import annotations
 
 import csv
 import os
-from typing import Callable, Dict, List, Optional, Tuple
+from typing import Callable, List, Optional, Tuple
 
 import numpy as np
 

@@ -8,7 +8,7 @@ CenterCrop *pads with zeros* when the crop is larger than the image (e.g.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple, Union
+from typing import Optional, Sequence, Union
 
 import numpy as np
 from PIL import Image

@@ -22,7 +22,7 @@ Models are NHWC: inputs are ``[B, H, W, C]`` float32/bfloat16 in [0, 1].
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Sequence
+from typing import Any, Dict, Sequence
 
 import flax.linen as nn
 import jax

@@ -22,7 +22,7 @@ identical).
 from __future__ import annotations
 
 import math
-from typing import Dict, Optional, Sequence, Tuple
+from typing import Dict, Optional, Sequence
 
 import flax.linen as nn
 import jax

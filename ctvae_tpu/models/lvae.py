@@ -7,7 +7,7 @@ Parity target: /root/reference/models/lvae.py: per-rung ``EncoderBlock``
 
 from __future__ import annotations
 
-from typing import Dict, List, Sequence, Tuple
+from typing import Dict, Sequence
 
 import flax.linen as nn
 import jax

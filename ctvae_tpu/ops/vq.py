@@ -16,6 +16,7 @@ backends ``l2_argmin`` falls back to the identical XLA formulation.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -95,8 +96,6 @@ def l2_argmin_pallas(flat: Array, codebook: Array,
     )(x, cb)
     return inds.reshape(n_pad)[:n]
 
-
-import os
 
 # The Pallas kernel is opt-in: on the current v5e AOT toolchain Mosaic
 # either over-allocates scoped VMEM for the whole grid at once (OOM at

@@ -25,14 +25,14 @@ from __future__ import annotations
 
 import os
 import time
-from typing import Any, Dict, Iterable, List, Optional
+from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ..models.base import BaseVAE, RNG_STREAMS
-from ..parallel.mesh import make_mesh, replicated, shard_batch
+from ..parallel.mesh import make_mesh, replicated
 from .optimizers import build_lr_schedules, build_optimizers
 from .state import TrainState, create_train_state, make_eval_step, make_train_step
 
