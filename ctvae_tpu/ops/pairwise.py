@@ -23,32 +23,47 @@ import jax.numpy as jnp
 Array = jax.Array
 
 
+# Above this size the [B, S, S, H] pre-activation switches from the MXU
+# einsum (which materializes it in HBM — cheap when it fits: traffic
+# ~2x its bytes at 820 GB/s, contraction effectively free) to a fused
+# VPU multiply+sum under jax.checkpoint (never materialized — slower
+# per element, but the only way the 12-action causal virtual batch fits
+# in HBM at all). Crossover measured in scripts/bench_ct.py: at batch
+# 128 / H=800 (839 MB) the einsum wins by ~5 ms/step; at the causal
+# mode's ~10+ GB the einsum OOMs.
+_FUSED_PAIRWISE_BYTES = 2 << 30
+
+
 def pairwise_mlp_scores(x_left: Array, x_right: Array, w2: Array, b2: Array,
                         b1: Array, negative_slope: float = 0.01,
-                        block_rows: Optional[int] = None) -> Array:
+                        block_rows: Optional[int] = None,
+                        fused: Optional[bool] = None) -> Array:
     """Scores for all ordered pairs.
 
     x_left:  [B, S, H] = X @ Wl   (row / first element of the pair)
     x_right: [B, S, H] = X @ Wr   (column / second element)
     w2: [..., H], b2: [...] broadcastable over [B, S] rows; b1: [..., H]
+    fused: None = auto by pre-activation size (see _FUSED_PAIRWISE_BYTES)
     Returns sigmoid(leaky(x_left[s] + x_right[t] + b1) @ w2 + b2): [B, S, S].
     """
     B, S, H = x_left.shape
+    if fused is None:
+        fused = (B * S * S * H * x_left.dtype.itemsize
+                 > _FUSED_PAIRWISE_BYTES)
     w2b = jnp.broadcast_to(w2, (B, H)) if w2.ndim <= 2 else w2
 
-    @jax.checkpoint
     def rows(chunk):  # chunk: [B, C, H] of left rows
         pre = chunk[:, :, None, :] + x_right[:, None, :, :] + b1[..., None, None, :]
         act = jax.nn.leaky_relu(pre, negative_slope)
-        # fused multiply + VPU sum (not an einsum): the [B, C, S, H]
-        # pre-activation never reaches HBM — an MXU contraction would
-        # force its materialization, and at H=800 the op is bandwidth-
-        # bound, not FLOP-bound (same finding as ops/gat.py fused_logits,
-        # measured in scripts/bench_ct.py). jax.checkpoint recomputes it
-        # in backward instead of saving it.
+        if fused:
+            return jax.nn.sigmoid(
+                jnp.sum(act * w2b[..., None, None, :], axis=-1)
+                + b2[..., None, None])
         return jax.nn.sigmoid(
-            jnp.sum(act * w2b[..., None, None, :], axis=-1)
-            + b2[..., None, None])
+            jnp.einsum("bcth,bh->bct", act, w2b) + b2[..., None, None])
+
+    if fused:
+        rows = jax.checkpoint(rows)
 
     if block_rows is None or block_rows >= S:
         return rows(x_left)

@@ -2,7 +2,7 @@
 kernels by total device time. Parses the perfetto trace.json.gz that
 jax.profiler writes — no TensorBoard needed.
 
-Run: python scripts/profile_ct.py [batch]
+Run: python scripts/profile_ct.py [batch] [mode]
 """
 
 import glob
@@ -19,6 +19,7 @@ from ctvae_tpu.models import vae_models
 from ctvae_tpu.training import create_train_state, make_train_step
 
 BATCH = int(sys.argv[1]) if len(sys.argv) > 1 else 128
+MODE = sys.argv[2] if len(sys.argv) > 2 else "action"
 IMG = 64
 TRACE_DIR = "/tmp/ct_trace"
 
@@ -43,7 +44,7 @@ def main():
     step = jax.jit(
         make_train_step(model, txs, M_N=0.00025,
                         fwd_kwargs_keys=("input_y", "action"),
-                        static_fwd_kwargs={"mode": "action"}),
+                        static_fwd_kwargs={"mode": MODE}),
         donate_argnums=0)
     compiled = step.lower(state, batch).compile()
     for _ in range(3):
