@@ -57,8 +57,16 @@ def main():
     _ = float(metrics["loss"])
     rtt = time.perf_counter() - t0
     t0 = time.perf_counter()
-    for _ in range(STEPS):
+    for i in range(STEPS):
         state, metrics = compiled(state, batch)
+        if (i + 1) % 10 == 0:
+            # bound the async dispatch queue: letting 100 steps queue
+            # unfetched through the remote-chip tunnel collapses to
+            # ~25x the real step time on large-output steps (observed
+            # on causal mode at batch 32: 2.8 s/step "measured" vs
+            # 109 ms device time); a fetch every 10 steps keeps the
+            # pipeline shallow while amortizing the ~27 ms RTT
+            final = float(metrics["loss"])
     final = float(metrics["loss"])
     dt = max(time.perf_counter() - t0 - rtt, 1e-9)
     assert final == final
