@@ -101,7 +101,11 @@ def l2_argmin_pallas(flat: Array, codebook: Array,
 # either over-allocates scoped VMEM for the whole grid at once (OOM at
 # TILE_N=1024: "93-106M > 16M limit") or hangs in compilation for smaller
 # tiles (128/256 with K>=512, reproduced 2026-08-16 incl. with raised
-# vmem_limit_bytes + arbitrary dimension_semantics). The XLA formulation
+# vmem_limit_bytes + arbitrary dimension_semantics; re-reproduced
+# 2026-08-17 with a lane-aligned (1, 1, TILE_N) output block at
+# TILE_N=512 — the degenerate [TILE_N, 1] output column was not the
+# cause, and a hung compile wedges the shared chip, so do not retry
+# against live hardware). The XLA formulation
 # below compiles to the same MXU matmul with the argmin fused into the
 # epilogue and is not a measurable fraction of any model's step time, so
 # it stays the default until the toolchain issue is fixed.
