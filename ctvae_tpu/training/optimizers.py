@@ -31,12 +31,27 @@ def _subtree_mask(params: Any, prefix: Optional[str]):
     return flat
 
 
+def _exp_schedule(lr: float, gamma: float, steps_per_epoch: int):
+    """Per-epoch ExponentialLR as an optax step schedule.
+
+    ``gamma == 0.0`` must reproduce torch semantics — LR becomes 0 from
+    the second epoch on (lr * 0**epoch). The reference's VQVAE config
+    ships scheduler_gamma: 0.0 (/root/reference/configs/vq_vae.yaml:20)
+    and its Trainer really does kill the LR after epoch 1; optax's
+    exponential_decay would silently special-case 0 to a constant.
+    """
+    spe = max(1, steps_per_epoch)
+    if gamma == 0.0:
+        return lambda step: lr * (step < spe)
+    return optax.exponential_decay(
+        init_value=lr, transition_steps=spe, decay_rate=gamma,
+        staircase=True)
+
+
 def _adam(lr: float, weight_decay: float, gamma: Optional[float],
           steps_per_epoch: int) -> optax.GradientTransformation:
     if gamma is not None:
-        schedule = optax.exponential_decay(
-            init_value=lr, transition_steps=max(1, steps_per_epoch),
-            decay_rate=gamma, staircase=True)
+        schedule = _exp_schedule(lr, gamma, steps_per_epoch)
     else:
         schedule = lr
     if weight_decay:
@@ -52,9 +67,7 @@ def build_lr_schedules(exp_params: Dict[str, Any],
     def sched(lr, gamma):
         if gamma is None:
             return lambda step: lr
-        return optax.exponential_decay(
-            init_value=lr, transition_steps=max(1, steps_per_epoch),
-            decay_rate=gamma, staircase=True)
+        return _exp_schedule(lr, gamma, steps_per_epoch)
     out = [sched(exp_params.get("LR", 1e-3),
                  exp_params.get("scheduler_gamma"))]
     if exp_params.get("LR_2") is not None:

@@ -138,3 +138,40 @@ def test_full_state_resume_roundtrip(tmp_path):
     assert len(a) == len(b)
     for x, y in zip(a, b):
         np.testing.assert_allclose(np.asarray(x), np.asarray(y), rtol=1e-6)
+
+
+def test_scheduler_gamma_zero_matches_torch_semantics():
+    """scheduler_gamma: 0.0 (the reference VQVAE config quirk,
+    /root/reference/configs/vq_vae.yaml:20) must kill the LR from the
+    second epoch on, exactly like torch ExponentialLR(gamma=0.0) —
+    optax's exponential_decay would silently turn it into a constant."""
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from ctvae_tpu.training.optimizers import (build_lr_schedules,
+                                               build_optimizers)
+
+    scheds = build_lr_schedules({"LR": 0.005, "scheduler_gamma": 0.0},
+                                steps_per_epoch=10)
+    assert float(scheds[0](0)) == 0.005
+    assert float(scheds[0](9)) == 0.005
+    assert float(scheds[0](10)) == 0.0
+    assert float(scheds[0](99)) == 0.0
+
+    # and the actual optimizer stops moving params after epoch 1
+    params = {"w": jnp.ones((3,))}
+    tx = build_optimizers({"LR": 0.005, "scheduler_gamma": 0.0}, params,
+                          steps_per_epoch=2)[0]
+    state = tx.init(params)
+    g = {"w": jnp.ones((3,))}
+    p = params
+    for i in range(4):
+        updates, state = tx.update(g, state, p)
+        before = p["w"].copy()
+        p = optax.apply_updates(p, updates)
+        moved = float(jnp.max(jnp.abs(p["w"] - before)))
+        if i < 2:
+            assert moved > 0, i
+        else:
+            np.testing.assert_allclose(moved, 0.0, atol=1e-12)
