@@ -131,6 +131,9 @@ def make_train_step(
 
         (loss, (losses, new_ms)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params)
+        # observability stand-in for the reference's wandb.watch gradient
+        # tracking (run.py:55): one fused reduction, logged every step
+        losses["grad_norm"] = optax.global_norm(grads)
         updates, new_opt = tx.update(grads, state.opt_states[optimizer_idx],
                                      state.params)
         new_params = optax.apply_updates(state.params, updates)
