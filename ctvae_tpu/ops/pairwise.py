@@ -42,7 +42,7 @@ def pairwise_mlp_scores(x_left: Array, x_right: Array, w2: Array, b2: Array,
 
     x_left:  [B, S, H] = X @ Wl   (row / first element of the pair)
     x_right: [B, S, H] = X @ Wr   (column / second element)
-    w2: [..., H], b2: [...] broadcastable over [B, S] rows; b1: [..., H]
+    w2: [H] or [B, H] (broadcast to [B, H]); b2: [] or [B]; b1: [..., H]
     fused: None = auto by pre-activation size (see _FUSED_PAIRWISE_BYTES)
     Returns sigmoid(leaky(x_left[s] + x_right[t] + b1) @ w2 + b2): [B, S, S].
     """

@@ -55,7 +55,13 @@ def _adam(lr: float, weight_decay: float, gamma: Optional[float],
     else:
         schedule = lr
     if weight_decay:
-        return optax.adamw(schedule, weight_decay=weight_decay)
+        # torch ``Adam(weight_decay=wd)`` is *coupled* L2: ``wd * param``
+        # is added to the gradient BEFORE the moment updates
+        # (/root/reference/experiment.py:154-156 uses torch.optim.Adam,
+        # not AdamW). optax.adamw would decay *after* normalization —
+        # a silent semantic divergence — so chain the decay in front.
+        return optax.chain(optax.add_decayed_weights(weight_decay),
+                           optax.adam(schedule))
     return optax.adam(schedule)
 
 

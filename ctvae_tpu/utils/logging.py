@@ -19,6 +19,52 @@ from typing import Any, Dict, Optional
 import numpy as np
 
 
+def _make_summary_writer(log_dir: str):
+    """TensorBoard writer without a hard torch dependency: prefer
+    tensorboardX, fall back to torch's bundled writer, and degrade to a
+    local JSONL scalar log so a torch-free TPU VM still gets metrics."""
+    try:
+        from tensorboardX import SummaryWriter
+        return SummaryWriter(log_dir)
+    except ImportError:
+        pass
+    try:
+        from torch.utils.tensorboard import SummaryWriter
+        return SummaryWriter(log_dir)
+    except ImportError:
+        return _JsonlWriter(log_dir)
+
+
+class _JsonlWriter:
+    """Minimal SummaryWriter-compatible fallback (scalars to JSONL,
+    images to PNG-less .npy, text to .txt) — keeps the framework fully
+    functional when neither tensorboardX nor torch is installed."""
+
+    def __init__(self, log_dir: str):
+        self.log_dir = log_dir
+        self._f = open(os.path.join(log_dir, "scalars.jsonl"), "a")
+
+    def add_scalar(self, name, value, step):
+        self._f.write(json.dumps(
+            {"step": int(step), name: float(value)}) + "\n")
+
+    def add_image(self, name, img, step, dataformats="HWC"):
+        safe = name.replace("/", "_")
+        np.save(os.path.join(self.log_dir, f"{safe}_{step}.npy"),
+                np.asarray(img))
+
+    def add_text(self, name, text):
+        safe = name.replace("/", "_")
+        with open(os.path.join(self.log_dir, f"{safe}.txt"), "w") as f:
+            f.write(text)
+
+    def flush(self):
+        self._f.flush()
+
+    def close(self):
+        self._f.close()
+
+
 class ExperimentLogger:
 
     def __init__(self, save_dir: str, name: str, version: Optional[int] = None,
@@ -31,8 +77,7 @@ class ExperimentLogger:
         self.log_dir = os.path.join(base, f"version_{version}")
         os.makedirs(self.log_dir, exist_ok=True)
 
-        from torch.utils.tensorboard import SummaryWriter
-        self.tb = SummaryWriter(self.log_dir)
+        self.tb = _make_summary_writer(self.log_dir)
         self.wandb = None
         if use_wandb:
             try:

@@ -53,9 +53,15 @@ def main():
     for _ in range(5):
         state, metrics = compiled(state, batch)
     _ = float(metrics["loss"])
+    # RTT probe on a FRESH (never-fetched) scalar — re-reading an
+    # already-fetched array can hit a host-side cache and measure ~0
+    state, metrics = compiled(state, batch)
+    _ = float(metrics["Reconstruction_Loss"]
+              if "Reconstruction_Loss" in metrics else metrics["loss"])
     t0 = time.perf_counter()
     _ = float(metrics["loss"])
     rtt = time.perf_counter() - t0
+    n_fetches = 0
     t0 = time.perf_counter()
     for i in range(STEPS):
         state, metrics = compiled(state, batch)
@@ -67,8 +73,9 @@ def main():
             # 109 ms device time); a fetch every 10 steps keeps the
             # pipeline shallow while amortizing the ~27 ms RTT
             final = float(metrics["loss"])
+            n_fetches += 1
     final = float(metrics["loss"])
-    dt = max(time.perf_counter() - t0 - rtt, 1e-9)
+    dt = max(time.perf_counter() - t0 - rtt * n_fetches, 1e-9)
     assert final == final
     print(f"batch={BATCH} mode={MODE}  {dt / STEPS * 1e3:.3f} ms/step  "
           f"{STEPS * BATCH / dt:.0f} img/s")

@@ -140,6 +140,40 @@ def test_full_state_resume_roundtrip(tmp_path):
         np.testing.assert_allclose(np.asarray(x), np.asarray(y), rtol=1e-6)
 
 
+def test_adam_weight_decay_matches_torch_coupled_l2():
+    """Nonzero exp_params.weight_decay must reproduce torch
+    ``Adam(weight_decay=wd)`` — coupled L2 added to the gradient BEFORE
+    the moment updates (/root/reference/experiment.py:154-156) — not
+    optax.adamw's decoupled decay, which diverges after the first step."""
+    import jax.numpy as jnp
+    import optax
+    import torch
+
+    from ctvae_tpu.training.optimizers import build_optimizers
+
+    wd, lr = 0.1, 0.01
+    init = np.array([0.5, -1.2, 2.0, 0.03], np.float64)
+    grads = np.random.RandomState(0).randn(6, 4)
+
+    tp = torch.nn.Parameter(torch.tensor(init))
+    topt = torch.optim.Adam([tp], lr=lr, weight_decay=wd)
+    for g in grads:
+        topt.zero_grad()
+        tp.grad = torch.tensor(g)
+        topt.step()
+
+    params = {"w": jnp.asarray(init, jnp.float32)}
+    tx = build_optimizers({"LR": lr, "weight_decay": wd}, params)[0]
+    st = tx.init(params)
+    for g in grads:
+        updates, st = tx.update({"w": jnp.asarray(g, jnp.float32)}, st,
+                                params)
+        params = optax.apply_updates(params, updates)
+
+    np.testing.assert_allclose(np.asarray(params["w"]),
+                               tp.detach().numpy(), rtol=2e-5, atol=2e-6)
+
+
 def test_scheduler_gamma_zero_matches_torch_semantics():
     """scheduler_gamma: 0.0 (the reference VQVAE config quirk,
     /root/reference/configs/vq_vae.yaml:20) must kill the LR from the
