@@ -53,6 +53,9 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from ctvae_tpu.utils.platform import apply_platform_overrides
+    apply_platform_overrides()
+
     from ctvae_tpu.data import VAEDataset
     from ctvae_tpu.models import build_model
     from ctvae_tpu.models.base import RNG_STREAMS

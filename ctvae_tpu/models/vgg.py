@@ -87,6 +87,54 @@ class FrozenVGG19BN(nn.Module):
         return feats
 
 
+def find_pretrained_weights() -> "str | None":
+    """Locate a local vgg19_bn state_dict: ``CTVAE_VGG19_WEIGHTS`` env
+    var first, then the torch hub cache paths torchvision would have
+    used. Returns None when nothing exists (zero-egress hosts)."""
+    import os
+    candidates = [
+        os.environ.get("CTVAE_VGG19_WEIGHTS"),
+        os.path.expanduser("~/.cache/ctvae/vgg19_bn.pth"),
+        os.path.expanduser(
+            "~/.cache/torch/hub/checkpoints/vgg19_bn-c79401a0.pth"),
+    ]
+    for cand in candidates:
+        if cand and os.path.exists(cand):
+            return cand
+    return None
+
+
+def attach_pretrained_vgg(model_state: dict) -> dict:
+    """If ``model_state`` carries a frozen VGG collection, overwrite it
+    with local pretrained weights; otherwise WARN LOUDLY — the reference
+    perceptual loss uses torchvision's *pretrained* features
+    (/root/reference/models/dfcvae.py:81-87), so random features are a
+    documented degradation, never a silent one."""
+    import warnings
+
+    frozen = model_state.get("frozen")
+    if not frozen:
+        return model_state
+    path = find_pretrained_weights()
+
+    def walk(node):
+        if isinstance(node, dict) and "conv0_kernel" in node:
+            return load_vgg19_bn_weights(node, path)
+        if isinstance(node, dict):
+            return {k: walk(v) for k, v in node.items()}
+        return node
+
+    if path is None:
+        warnings.warn(
+            "DFCVAE: no pretrained VGG19-bn weights found — the "
+            "perceptual loss will use RANDOM features, diverging from "
+            "the reference's pretrained torchvision model "
+            "(dfcvae.py:81-87). Set CTVAE_VGG19_WEIGHTS to a local "
+            "torchvision vgg19_bn state_dict to match.", stacklevel=2)
+        return model_state
+    return {**model_state, "frozen": walk(frozen)}
+
+
 def load_vgg19_bn_weights(frozen_vars: dict, state_dict_path: str) -> dict:
     """Overwrite the ``frozen`` collection from a torchvision vgg19_bn
     state_dict saved locally (keys ``features.{i}.weight`` etc.). Returns

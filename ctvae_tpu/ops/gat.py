@@ -4,17 +4,27 @@ replacement for the reference's sparse torch-geometric pipeline
 :211-214).
 
 Semantics matched to torch-geometric's GATv2Conv (v2.2, edge_dim=1,
-share_weights=False, concat=True, negative_slope=0.2):
+share_weights=False, concat=True, negative_slope=0.2, and the defaults
+``add_self_loops=True, fill_value='mean'`` the reference construction
+uses):
 
 * an entry ``adj[s, t] != 0`` is a directed edge s -> t carrying its value
   as a 1-dim edge feature,
+* **self-loop replacement** (PyG's default, applied inside every layer):
+  the adjacency's own diagonal edges are REMOVED, then one self-loop per
+  node is added whose edge attr is the mean of that node's remaining
+  incoming edge weights (0 for nodes with no other incoming edges) — so
+  every node attends at least to itself,
 * per head h: ``e[s,t,h] = a_h . leaky_relu(Wl x_s + Wr x_t + We w_st)``,
 * attention is a softmax over the *incoming* edges of t only (non-edges
   are excluded, exactly like the sparse edge list — not merely masked
   post-softmax),
 * node t's output is the alpha-weighted sum of ``Wl x_s`` over sources,
-  concatenated across heads, plus a bias,
-* a node with no incoming edges gets bias only (PyG aggregates nothing).
+  concatenated across heads, plus a bias.
+
+Pinned against a faithful torch implementation of PyG's op in
+tests/test_gat_vs_pyg.py and, through the reference's full
+``_compute_y``, in tests/test_ct_reference_parity.py.
 
 Dense masked attention maps straight onto the MXU/VPU: no scatter, no
 dynamic edge lists, fully batchable.
@@ -35,6 +45,8 @@ class DenseGATv2Layer(nn.Module):
     out_features: int
     heads: int = 1
     negative_slope: float = 0.2
+    add_self_loops: bool = True  # PyG default: replace diagonal edges
+                                 # with mean-filled self-loops
     dtype: jnp.dtype = jnp.float32
     block_cols: int = 0   # >0: chunk the target axis; bounds the
                           # [B,S,block,H,F] pre-activation workspace
@@ -57,11 +69,14 @@ class DenseGATv2Layer(nn.Module):
                                self.dtype)
 
     def identity_call(self, x: Array) -> Array:
-        """Exact fast path for an identity adjacency (each target's only
-        incoming edge is its self-edge): the softmax over a singleton is
-        identically 1 — independent of the logits, so no value OR gradient
-        flows through lin_r / att / lin_edge — and the layer collapses to
-        ``lin_l(x) + bias``. O(T F^2 H) instead of O(T^2 H F)."""
+        """Exact fast path for an identity adjacency. Under PyG
+        semantics the diagonal edges are removed and replaced by one
+        mean-filled self-loop per node (attr 0 here — no other incoming
+        edges), so each target still has exactly ONE incoming edge: the
+        softmax over a singleton is identically 1 — independent of the
+        logits, so no value OR gradient flows through lin_r / att /
+        lin_edge — and the layer collapses to ``lin_l(x) + bias``.
+        O(T F^2 H) instead of O(T^2 H F)."""
         return self.lin_l(x) + self.bias
 
     def __call__(self, x: Array, adj: Array) -> Array:
@@ -69,6 +84,19 @@ class DenseGATv2Layer(nn.Module):
         Returns [B, T, heads * out_features]."""
         B, T, _ = x.shape
         H, F = self.heads, self.out_features
+
+        if self.add_self_loops:
+            # PyG remove_self_loops + add_self_loops(fill_value='mean'):
+            # drop diagonal edges, then give EVERY node a self-loop whose
+            # edge attr is the mean of its remaining incoming weights
+            eye = jnp.eye(T, dtype=bool)[None]
+            off = jnp.where(eye, 0, adj)
+            cnt = jnp.sum(off != 0, axis=1)                       # [B, T]
+            fill = jnp.sum(off, axis=1) / jnp.maximum(cnt, 1)
+            adj = off + eye * fill[:, None, :].astype(adj.dtype)
+            edge_mask = (off != 0) | eye                          # [B, S, T]
+        else:
+            edge_mask = adj != 0
         xl = self.lin_l(x).reshape(B, T, H, F)
         xr = self.lin_r(x).reshape(B, T, H, F)
         we = self.we.reshape(H, F)
@@ -116,7 +144,7 @@ class DenseGATv2Layer(nn.Module):
         else:
             logits = logits_for(adj, xr)                 # [B, S, T, H]
 
-        mask = (adj != 0)[:, :, :, None]                 # [B, S, T, 1]
+        mask = edge_mask[:, :, :, None]                  # [B, S, T, 1]
         neg = jnp.asarray(-1e30, logits.dtype)
         logits = jnp.where(mask, logits, neg)
         logits = logits - jax.lax.stop_gradient(

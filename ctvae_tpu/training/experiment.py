@@ -66,6 +66,10 @@ class VAEXperiment:
         self._eval_steps: Dict[Any, Any] = {}
         self._repr_fn_jit = None
         self.global_step = 0
+        # first epoch index for fit(); full-state resume sets this so a
+        # resumed run trains to max_epochs TOTAL, like PL's
+        # resume_from_checkpoint (/root/reference/run.py:91-101)
+        self.start_epoch = 0
 
     # -- setup -----------------------------------------------------------
 
@@ -80,6 +84,12 @@ class VAEXperiment:
                  if not isinstance(v, str)}
         state = create_train_state(self.model, rng, batch, probe,
                                    fwd_kwargs_keys=FWD_KEYS)
+        if "frozen" in state.model_state:
+            # frozen feature nets (DFCVAE's VGG19-bn) take pretrained
+            # weights from disk when available; loud warning otherwise
+            from ..models.vgg import attach_pretrained_vgg
+            state = state.replace(
+                model_state=attach_pretrained_vgg(dict(state.model_state)))
         self.txs = build_optimizers(self.params, state.params,
                                     steps_per_epoch)
         self.lr_schedules = build_lr_schedules(self.params, steps_per_epoch)
@@ -87,6 +97,22 @@ class VAEXperiment:
         self.state = state.replace(opt_states=opt_states)
         self.state = jax.device_put(self.state, replicated(self.mesh))
         return self.state
+
+    def restore_full_state(self, which: str = "last") -> None:
+        """Full-state resume (reference ``resume_from_checkpoint``,
+        /root/reference/run.py:91-101 + README.md:89): params, optimizer
+        state, step counter, AND the epoch position — a resumed run
+        trains to ``max_epochs`` *total*, not ``max_epochs`` more. The
+        epoch is derived from the restored step and the current
+        steps-per-epoch (PL persists the epoch index; step//spe is
+        equivalent as long as the dataset limits are unchanged)."""
+        assert self.state is not None and self.ckpt is not None
+        restored = self.ckpt.restore(jax.device_get(self.state),
+                                     which=which)
+        self.state = jax.device_put(restored, replicated(self.mesh))
+        self.global_step = int(self.state.step)
+        spe = max(1, self.data.steps_per_epoch() if self.data else 1)
+        self.start_epoch = self.global_step // spe
 
     def load_weights(self, ckpt_path: str) -> None:
         """Weights-only restore (reference run.py:85-89); optimizer state
@@ -182,7 +208,7 @@ class VAEXperiment:
         # reference's torchviz graph dump (SURVEY.md §5).
         profile_dir = self.params.get("profile")
         val = {}
-        for epoch in range(max_epochs):
+        for epoch in range(self.start_epoch, max_epochs):
             if profile_dir and epoch == 0:
                 jax.profiler.start_trace(str(profile_dir))
             train_metrics = self.train_epoch(epoch)

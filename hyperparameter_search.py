@@ -1,16 +1,24 @@
 #!/usr/bin/env python
 """Hyperparameter search — ``python hyperparameter_search.py -c configs_hyp/<x>.yaml``.
 
-Same YAML schema as the reference (/root/reference/hyperparameter_search.py:29-99):
-the ``hyperparameter_search:`` section names which keys of each config
-section are search dimensions; list values become categorical choices,
-2-tuples become uniform ranges (the reference's ``to_tune`` mapping,
-:35-47). The reference delegates trial scheduling to Ray Tune; on TPU
-pods the natural unit is one chip-set per trial, so this implementation
-runs a seeded random search sequentially over the local mesh (Ray is
-used transparently if installed), reporting the best
-``val_Reconstruction_Loss`` — the same objective Ray's
-``TuneReportCallback`` monitors (:82-84).
+Same YAML schema as the reference (/root/reference/hyperparameter_search.py:34-47):
+the ``hyperparameter_search.params`` tree names which config keys are
+search dimensions, with the reference's exact ``to_tune`` leaf rules —
+**list values become categorical choices, tuple values become uniform
+ranges** (tuples are written ``!!python/tuple [lo, hi]`` in YAML and
+read via ``yaml.full_load``, exactly like the reference). The spec tree
+mirrors ``to_tune``'s recursion: a dict maps section names to nested
+specs, a list names keys within the current section.
+
+The reference delegates trial scheduling to Ray Tune actors
+(:89-99, one GPU per trial). Ray is not a dependency here; instead
+trials run either sequentially on the local mesh (default — on a TPU
+chip trials contend for the same device, so sequential is the right
+unit) or as ``hyperparameter_search.parallel_trials: N`` concurrent
+processes (CPU sweeps). The objective is the best
+``val_Reconstruction_Loss`` — the same scalar Ray's
+``TuneReportCallback`` monitors (:82-84). ``resources_per_trial`` is
+accepted and ignored (Ray-only knob).
 """
 
 from __future__ import annotations
@@ -25,26 +33,50 @@ from typing import Any, Dict
 import yaml
 
 
-def sample_params(config: Dict[str, Any], search_space: Dict[str, Any],
+def sample_params(config: Dict[str, Any], spec: Any,
                   rng: random.Random) -> Dict[str, Any]:
-    """One trial config: for each named key, lists -> rng.choice,
-    [lo, hi] tuples -> rng.uniform (reference ``to_tune`` semantics)."""
+    """One trial config drawn from the search space.
+
+    Mirrors the reference ``to_tune`` recursion
+    (/root/reference/hyperparameter_search.py:35-47): ``spec`` dicts
+    recurse into config sections, ``spec`` lists name keys of the
+    current section; at each named leaf a list value -> ``rng.choice``,
+    a tuple value -> ``rng.uniform(lo, hi)``.
+    """
     trial = copy.deepcopy(config)
-    for section, keys in search_space.items():
-        for key in keys:
-            val = trial[section].get(key)
-            if isinstance(val, tuple) or (
-                    isinstance(val, list) and len(val) == 2
-                    and all(isinstance(v, float) for v in val)
-                    and key.startswith(("LR", "lr"))):
-                trial[section][key] = rng.uniform(val[0], val[1])
-            elif isinstance(val, list):
-                trial[section][key] = rng.choice(val)
-    return trial
+
+    def walk(spec_node, cfg_node):
+        if isinstance(spec_node, dict):
+            for key, nested in spec_node.items():
+                cfg_node[key] = walk(nested, cfg_node[key])
+        elif isinstance(spec_node, list):
+            for key in spec_node:
+                cfg_node[key] = walk(None, cfg_node[key])
+        else:  # leaf: convert the config value itself
+            if isinstance(cfg_node, tuple):
+                return rng.uniform(cfg_node[0], cfg_node[1])
+            if isinstance(cfg_node, list):
+                return rng.choice(cfg_node)
+        return cfg_node
+
+    return walk(spec, trial)
+
+
+def select_best(results):
+    """Best trial by lowest ``val_Reconstruction_Loss`` (missing ->
+    +inf, so failed metrics never win)."""
+    best = None
+    for entry in results:
+        if best is None or entry["loss"] < best["loss"]:
+            best = entry
+    return best
 
 
 def run_trial(trial_config: Dict[str, Any], trial_id: int,
               out_dir: str) -> Dict[str, float]:
+    from ctvae_tpu.utils.platform import apply_platform_overrides
+    apply_platform_overrides()
+
     from ctvae_tpu.data import VAEDataset
     from ctvae_tpu.models import build_model
     from ctvae_tpu.training import VAEXperiment
@@ -60,6 +92,33 @@ def run_trial(trial_config: Dict[str, Any], trial_id: int,
     return {k: float(v) for k, v in final.items()}
 
 
+def _trial_entry(args):
+    """Top-level worker for parallel trials (must be picklable)."""
+    trial, trial_id, out_dir = args
+    try:
+        return trial_id, run_trial(trial, trial_id, out_dir), None
+    except Exception as e:  # a bad draw must not kill the sweep
+        return trial_id, None, repr(e)
+
+
+def _searched(trial, spec):
+    """Flatten the searched dimensions of one trial for reporting."""
+    out = {}
+
+    def walk(spec_node, cfg_node, prefix):
+        if isinstance(spec_node, dict):
+            for key, nested in spec_node.items():
+                walk(nested, cfg_node[key], prefix + (key,))
+        elif isinstance(spec_node, list):
+            for key in spec_node:
+                out[".".join(prefix + (key,))] = cfg_node[key]
+        else:
+            out[".".join(prefix)] = cfg_node
+
+    walk(spec, trial, ())
+    return out
+
+
 def main():
     parser = argparse.ArgumentParser(
         description="Hyperparameter search runner for VAE models")
@@ -68,11 +127,14 @@ def main():
     args = parser.parse_args()
 
     with open(args.filename) as f:
+        # full_load: !!python/tuple [lo, hi] leaves parse as tuples ->
+        # uniform ranges, matching the reference's yaml.full_load (:27)
         config = yaml.full_load(f)
 
     hyp = config.pop("hyperparameter_search")
     num_samples = int(hyp.get("num_samples", 10))
-    search_space = hyp.get("params", {})
+    spec = hyp.get("params", {})
+    parallel = int(hyp.get("parallel_trials", 1))
     seed = int(config.get("exp_params", {}).get("manual_seed", 0))
     rng = random.Random(seed)
 
@@ -81,30 +143,45 @@ def main():
     out_dir = os.path.join(save_dir, name, "hyp_search")
     os.makedirs(out_dir, exist_ok=True)
 
+    trials = [sample_params(config, spec, rng) for _ in range(num_samples)]
+    for tid, trial in enumerate(trials):
+        print(f"--- trial {tid}/{num_samples}: {_searched(trial, spec)}")
+
     results = []
-    best = None
-    for trial_id in range(num_samples):
-        trial = sample_params(config, search_space, rng)
-        print(f"--- trial {trial_id}/{num_samples}: "
-              f"{ {s: {k: trial[s].get(k) for k in ks} for s, ks in search_space.items()} }")
-        try:
-            metrics = run_trial(trial, trial_id, out_dir)
-        except Exception as e:  # a bad hyperparameter draw must not kill the sweep
-            print(f"    trial {trial_id} failed: {e}")
-            continue
+
+    def record(trial_id, metrics, err):
+        if err is not None:
+            print(f"    trial {trial_id} failed: {err}")
+            return
         loss = metrics.get("val_Reconstruction_Loss", float("inf"))
-        entry = {"trial": trial_id, "loss": loss, "metrics": metrics,
-                 "params": {s: {k: trial[s].get(k) for k in ks}
-                            for s, ks in search_space.items()}}
-        results.append(entry)
-        if best is None or loss < best["loss"]:
-            best = entry
+        results.append({"trial": trial_id, "loss": loss,
+                        "metrics": metrics,
+                        "params": _searched(trials[trial_id], spec)})
+        best = select_best(results)
         with open(os.path.join(out_dir, "results.json"), "w") as f:
             json.dump({"best": best, "trials": results}, f, indent=2,
                       default=str)
-        print(f"    val_Reconstruction_Loss={loss:.5f} "
+        print(f"    trial {trial_id}: val_Reconstruction_Loss={loss:.5f} "
               f"(best={best['loss']:.5f} @ trial {best['trial']})")
 
+    if parallel > 1:
+        # the honest Ray-actor replacement: one spawned process per
+        # trial (own JAX runtime), N at a time
+        import multiprocessing as mp
+        from concurrent.futures import ProcessPoolExecutor
+        ctx = mp.get_context("spawn")
+        with ProcessPoolExecutor(max_workers=parallel,
+                                 mp_context=ctx) as pool:
+            for trial_id, metrics, err in pool.map(
+                    _trial_entry,
+                    [(t, i, out_dir) for i, t in enumerate(trials)]):
+                record(trial_id, metrics, err)
+    else:
+        for trial_id, trial in enumerate(trials):
+            tid, metrics, err = _trial_entry((trial, trial_id, out_dir))
+            record(tid, metrics, err)
+
+    best = select_best(results)
     print("=== best ===")
     print(json.dumps(best, indent=2, default=str))
 

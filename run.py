@@ -32,6 +32,13 @@ def main():
     # Imports after arg parsing so `-h` is instant.
     import jax
 
+    # JAX_PLATFORMS must be authoritative even on hosts whose
+    # sitecustomize pre-registers an accelerator PJRT plugin (env alone
+    # does not override it; jax.config does). Keeps the CLI hermetic
+    # under JAX_PLATFORMS=cpu in CI.
+    from ctvae_tpu.utils.platform import apply_platform_overrides
+    apply_platform_overrides()
+
     # Multi-host SPMD (TPU pods): one process per host, same invocation
     # everywhere; JAX wires the mesh over ICI/DCN. Opt-in by env because
     # initialize() blocks waiting for peers.
@@ -96,12 +103,10 @@ def main():
             experiment.load_weights(resume)
             print(f"=> loaded weights (only) from {resume}")
         else:
-            experiment.state = ckpt.restore(
-                jax.device_get(experiment.state), which=resume)
-            experiment.state = jax.device_put(experiment.state)
-            experiment.global_step = int(experiment.state.step)
+            experiment.restore_full_state(resume)
             print(f"=> resumed full state from {resume} "
-                  f"(step {experiment.global_step})")
+                  f"(step {experiment.global_step}, "
+                  f"epoch {experiment.start_epoch})")
 
     max_epochs = int(trainer_params.get("max_epochs", 100))
     print(f"======= Training {model_params.get('name')} "

@@ -1,16 +1,17 @@
 """CT-VAE numerical parity vs the reference CausalTransition on CPU.
 
-The reference's GNN needs torch-geometric (unavailable), but everything
-else — the pairwise graph-discoverer, the intervention mask's sigmoid
-pre-activation, and the deterministic regularizers — is pure torch and
-is compared here with transplanted weights. This pins the factorized
-TPU pairwise scorer (ctvae_tpu/ops/pairwise.py splits the concat-MLP
-first layer into Wl x_s + Wr x_t) against the reference's materialized
-[B, S*S, 2N] formulation (/root/reference/models/ct_mcq_vae.py:140-174).
+The reference runs with its REAL GNN path: ``torch_geometric`` is
+provided by tests/pyg_fixture.py, a faithful torch implementation of
+PyG v2.2's GATv2Conv / dense_to_sparse / Sequential (itself pinned in
+tests/test_gat_vs_pyg.py). With transplanted weights this pins, against
+ground truth: the factorized pairwise scorer, the mask pre-activation,
+the deterministic regularizers, the full ``_compute_y`` GNN pass
+(padding, self-loop replacement, edge attrs, multi-head concat,
+action-head selection, softmax — /root/reference/models/ct_mcq_vae.py:188-228),
+and a fully deterministic end-to-end ``forward_action``.
 """
 
 import sys
-import types
 
 import numpy as np
 import pytest
@@ -19,33 +20,24 @@ REF = "/root/reference"
 
 torch = pytest.importorskip("torch")
 
+from _pyg_install import (install_torch_geometric,  # noqa: E402
+                          install_torchvision_stub)
+
 
 @pytest.fixture(scope="module")
 def ref_ct_module():
     import os
     if not os.path.isdir(REF):
         pytest.skip("reference checkout not available")
-    for name in ["torchvision", "torchvision.models",
-                 "torch_geometric", "torch_geometric.nn",
-                 "torch_geometric.utils"]:
-        if name not in sys.modules:
-            sys.modules[name] = types.ModuleType(name)
-    sys.modules["torchvision"].models = sys.modules["torchvision.models"]
-    sys.modules["torchvision.models"].vgg19_bn = \
-        lambda *a, **k: (_ for _ in ()).throw(RuntimeError("stub"))
-
-    class _FakeConv(torch.nn.Module):
-        def __init__(self, *a, **k):
-            super().__init__()
-
-    gnn = sys.modules["torch_geometric.nn"]
-    gnn.GATv2Conv = _FakeConv
-    gnn.GATConv = _FakeConv
-    gnn.Sequential = lambda *a, **k: torch.nn.Identity()
-    sys.modules["torch_geometric.utils"].dense_to_sparse = None
+    install_torchvision_stub()
+    install_torch_geometric()
     sys.path.insert(0, REF)
     try:
         import importlib
+        # NB: no reload needed even if another parity file imported the
+        # reference first with bare stubs — install_torch_geometric
+        # mutates the registered module objects in place, and the
+        # reference looks the classes up at construction time.
         yield importlib.import_module("models.ct_mcq_vae")
     finally:
         sys.path.remove(REF)
@@ -93,6 +85,24 @@ def _build_pair(ref_ct_module, N=6, A=4, H=16, seed=0):
     mask_lin = ref.mask[0]
     params["mask_kernel"] = jnp.asarray(mask_lin.weight.detach().numpy().T)
     params["mask_bias"] = jnp.asarray(mask_lin.bias.detach().numpy())
+
+    # GNN path: a_dense + every GATv2 layer of the graph_transitioner
+    params["a_dense"] = {
+        "kernel": jnp.asarray(ref.a_dense.weight.detach().numpy().T),
+        "bias": jnp.asarray(ref.a_dense.bias.detach().numpy())}
+    import pyg_fixture
+    convs = [m for m in ref.graph_transitioner._mods
+             if isinstance(m, pyg_fixture.GATv2Conv)]
+    params["graph_transitioner"] = {
+        f"DenseGATv2Layer_{i}": {
+            "lin_l": {"kernel": jnp.asarray(c.lin_l.weight.detach().numpy().T),
+                      "bias": jnp.asarray(c.lin_l.bias.detach().numpy())},
+            "lin_r": {"kernel": jnp.asarray(c.lin_r.weight.detach().numpy().T),
+                      "bias": jnp.asarray(c.lin_r.bias.detach().numpy())},
+            "lin_edge": jnp.asarray(c.lin_edge.weight.detach().numpy().T),
+            "att": jnp.asarray(c.att.detach().numpy()[0]),
+            "bias": jnp.asarray(c.bias.detach().numpy()),
+        } for i, c in enumerate(convs)}
     return ref, ours, {"params": params}
 
 
@@ -160,6 +170,91 @@ def test_mask_preactivation_parity(ref_ct_module):
                           jnp.asarray(action), method=_scores)
     np.testing.assert_allclose(np.asarray(o_scores), r_scores, rtol=1e-4,
                                atol=1e-5)
+
+
+def test_compute_y_full_parity(ref_ct_module):
+    """The full GNN transition — support-node padding, dense_to_sparse
+    edge attrs, PyG self-loop replacement, multi-head GATv2 stack,
+    action-head selection, mask mixing, softmax — against the reference
+    ``_compute_y`` running its real (fixture-backed) torch-geometric
+    path (/root/reference/models/ct_mcq_vae.py:188-228)."""
+    import jax.numpy as jnp
+
+    N, A, H, B, S = 6, 4, 16, 3, 5
+    ref, ours, variables = _build_pair(ref_ct_module, N, A, H, seed=6)
+    assert ref.noise == "off"
+    rng = np.random.default_rng(7)
+    latent = rng.normal(size=(B, S, N)).astype(np.float32)
+    action = np.eye(A, dtype=np.float32)[rng.integers(0, A, B)]
+    mask = (rng.uniform(size=(B, S, 1)) > 0.5).astype(np.float32)
+    adj = rng.uniform(0.05, 1.0, size=(B, S, S)).astype(np.float32)
+    adj *= (rng.uniform(size=(B, S, S)) < 0.5)  # sparse, incl. diagonal
+
+    with torch.no_grad():
+        r_y = ref._compute_y(torch.from_numpy(latent),
+                             torch.from_numpy(action),
+                             torch.from_numpy(adj),
+                             torch.from_numpy(mask)).numpy()
+    o_y = ours.apply(variables, jnp.asarray(latent), jnp.asarray(action),
+                     jnp.asarray(adj), jnp.asarray(mask),
+                     method=ours._compute_y, train=False)
+    np.testing.assert_allclose(np.asarray(o_y), r_y, rtol=1e-3, atol=1e-5)
+
+
+def test_forward_action_full_parity(ref_ct_module, monkeypatch):
+    """End-to-end forward_action with BOTH frameworks' Gumbel samplers
+    patched to the same deterministic threshold (p > 0.5): the mask,
+    adjacency, sampled graph, GNN output, and the deterministic
+    regularizers (c_beta=0 kills the random-target KL) must all agree."""
+    import jax
+    import jax.numpy as jnp
+
+    import ctvae_tpu.models.ct_vae as ct_mod
+
+    N, A, H, B, S = 6, 4, 16, 2, 5
+    ref, ours, variables = _build_pair(ref_ct_module, N, A, H, seed=8)
+    ref.beta = 0.0
+    ours = ours.clone(c_beta=0.0)
+    ref.eval()
+
+    # deterministic "sampling" on both sides: hard threshold at 0.5.
+    # torch: gumbel_softmax(log[1-p, p], hard=True) -> argmax -> p > 0.5
+    monkeypatch.setattr(
+        torch.nn.functional, "gumbel_softmax",
+        lambda logits, tau=1.0, hard=True, **kw: torch.nn.functional.one_hot(
+            logits.argmax(dim=-1), logits.size(-1)).to(logits.dtype))
+    monkeypatch.setattr(
+        ct_mod, "st_bernoulli_gumbel",
+        lambda rng, probs, tau=1.0: (probs > 0.5).astype(probs.dtype))
+
+    rng = np.random.default_rng(9)
+    latent = jax.nn.softmax(
+        jnp.asarray(rng.normal(size=(B, S, N)).astype(np.float32)) * 2,
+        axis=-1)
+    latent = np.asarray(latent)
+    action = np.eye(A, dtype=np.float32)[rng.integers(0, A, B)]
+
+    # reference takes NCHW one-hot [B, N, h, w]; use h=1, w=S
+    t_lat = torch.from_numpy(latent).permute(0, 2, 1).reshape(B, N, 1, S)
+    with torch.no_grad():
+        r_y, r_reg, r_metrics = ref.forward_action(
+            t_lat, torch.from_numpy(action))
+    r_y = r_y.reshape(B, N, S).permute(0, 2, 1).numpy()
+
+    rngs = {s: jax.random.PRNGKey(i)
+            for i, s in enumerate(("reparam", "gumbel", "noise", "dropout"))}
+    o_y, o_reg, o_metrics = ours.apply(
+        variables, jnp.asarray(latent), jnp.asarray(action),
+        method=ours.forward_action, train=False, rngs=rngs)
+
+    np.testing.assert_allclose(np.asarray(o_y), r_y, rtol=1e-3, atol=1e-5)
+    np.testing.assert_allclose(float(o_reg), float(r_reg), rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(o_metrics["ct_mask"]).ravel(),
+                               r_metrics["ct_mask"].numpy().ravel(),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(o_metrics["ct_adjacency"]),
+                               r_metrics["ct_adjacency"].numpy(),
+                               rtol=1e-4, atol=1e-6)
 
 
 def test_regularizer_parity(ref_ct_module):

@@ -25,24 +25,34 @@ def _tree_diff(t1, t2) -> float:
 
 
 def _gatv2_numpy(params, x, adj, heads, out_f, slope=0.2):
-    """Edge-list evaluation of GATv2 with edge features == adj values —
-    the sparse semantics the dense layer must reproduce."""
+    """Edge-list evaluation of GATv2 with the PyG-default self-loop
+    replacement (remove diagonal edges, add one self-loop per node whose
+    edge attr is the mean of its remaining incoming weights) — the
+    sparse semantics the dense layer must reproduce. Independently
+    cross-checked against the torch fixture in test_gat_vs_pyg.py."""
+    adj = adj.copy()
+    B, T, _ = x.shape
+    for b in range(B):
+        np.fill_diagonal(adj[b], 0.0)
+        for t in range(T):
+            incoming = adj[b, :, t][adj[b, :, t] != 0]
+            adj[b, t, t] = incoming.mean() if len(incoming) else 0.0
+    self_loop = np.eye(T, dtype=bool)
     Wl, bl = params["lin_l"]["kernel"], params["lin_l"]["bias"]
     Wr, br = params["lin_r"]["kernel"], params["lin_r"]["bias"]
     We = params["lin_edge"].reshape(heads, out_f)
     att = params["att"]
     bias = params["bias"]
-    B, T, _ = x.shape
     out = np.zeros((B, T, heads * out_f), np.float32)
     xl = (x @ Wl + bl).reshape(B, T, heads, out_f)
     xr = (x @ Wr + br).reshape(B, T, heads, out_f)
     for b in range(B):
         for t in range(T):
-            srcs = [s for s in range(T) if adj[b, s, t] != 0]
+            # edge exists where off-diagonal weight != 0, plus the
+            # always-present self-loop (possibly with attr 0)
+            srcs = [s for s in range(T)
+                    if adj[b, s, t] != 0 or self_loop[s, t]]
             for h in range(heads):
-                if not srcs:
-                    out[b, t, h * out_f:(h + 1) * out_f] = 0.0
-                    continue
                 logits = []
                 for s in srcs:
                     pre = xl[b, s, h] + xr[b, t, h] + adj[b, s, t] * We[h]

@@ -140,6 +140,41 @@ def test_full_state_resume_roundtrip(tmp_path):
         np.testing.assert_allclose(np.asarray(x), np.asarray(y), rtol=1e-6)
 
 
+def test_full_state_resume_continues_to_max_epochs_total(tmp_path):
+    """Resume must continue the epoch count: a run resumed at epoch 2
+    with max_epochs=3 trains exactly ONE more epoch (PL semantics,
+    /root/reference/run.py:91-101 + README.md:89), with the LR schedule
+    picking up at its restored step position."""
+    ep = {"LR": 1e-3, "kld_weight": 0.005, "scheduler_gamma": 0.5}
+    exp, ckpt = _tiny_experiment(tmp_path, exp_params=dict(ep))
+    exp.fit(max_epochs=2)
+    spe = exp.data.steps_per_epoch()
+    assert int(exp.state.step) == 2 * spe
+
+    exp2, _ = _tiny_experiment(tmp_path, exp_params=dict(ep))
+    first = next(iter(exp2.data.train_dataloader(0)))
+    exp2.setup(first)
+    exp2.restore_full_state("last")
+    assert exp2.start_epoch == 2
+    assert exp2.global_step == 2 * spe
+    # LR schedule position continues: per-epoch ExponentialLR has
+    # decayed twice at the restored step
+    np.testing.assert_allclose(float(exp2.lr_schedules[0](exp2.global_step)),
+                               1e-3 * 0.5 ** 2, rtol=1e-6)
+    # restored state is mesh-replicated like every other state
+    assert exp2.state.step.sharding is not None
+
+    exp2.fit(max_epochs=3)           # exactly one more epoch
+    assert int(exp2.state.step) == 3 * spe
+
+    exp3, _ = _tiny_experiment(tmp_path, exp_params=dict(ep))
+    first = next(iter(exp3.data.train_dataloader(0)))
+    exp3.setup(first)
+    exp3.restore_full_state("last")
+    exp3.fit(max_epochs=3)           # already at max_epochs: no-op
+    assert int(exp3.state.step) == 3 * spe
+
+
 def test_adam_weight_decay_matches_torch_coupled_l2():
     """Nonzero exp_params.weight_decay must reproduce torch
     ``Adam(weight_decay=wd)`` — coupled L2 added to the gradient BEFORE

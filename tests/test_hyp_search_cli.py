@@ -1,67 +1,121 @@
-"""End-to-end hyperparameter search through the CLI — the reference's
-Ray-Tune entry point (/root/reference/hyperparameter_search.py:19-99)
-re-implemented as a seeded random search; this drives the same YAML
-schema (``hyperparameter_search:`` section, list -> choice) on a tiny
-synthetic run and checks trial sampling + best-trial selection."""
+"""Hyperparameter search: unit tests for the ``to_tune`` sampling
+semantics (/root/reference/hyperparameter_search.py:35-47) and
+best-trial selection, plus an end-to-end in-process run of the CLI
+main() on a tiny synthetic sweep.
+
+The e2e test calls ``main()`` in-process (sharing the hermetic CPU
+backend from conftest.py) instead of a subprocess — the round-1
+subprocess version could hang forever on hosts whose sitecustomize
+pre-registers an accelerator backend (JAX_PLATFORMS env alone does not
+override it; entry points now call apply_platform_overrides, covered by
+test_run_cli_subprocess_smoke in test_two_stage_cli.py)."""
 
 import json
 import os
-import subprocess
+import random
 import sys
 
-import pytest
 import yaml
 
-REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+import hyperparameter_search as hs
 
 
-def _run(args, cwd=REPO, timeout=1500):
-    env = dict(os.environ, JAX_PLATFORMS="cpu",
-               JAX_COMPILATION_CACHE_DIR="/tmp/ctvae_jax_cache",
-               JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS="2")
-    r = subprocess.run([sys.executable] + args, capture_output=True,
-                       text=True, cwd=cwd, env=env, timeout=timeout)
-    assert r.returncode == 0, r.stdout[-800:] + r.stderr[-2000:]
-    return r
+def test_sample_params_to_tune_semantics():
+    """list -> choice, tuple -> uniform, nested-dict spec recursion —
+    the reference's exact to_tune rules."""
+    config = {
+        "model_params": {"latent_dim": [4, 8, 16], "gamma": 0.5,
+                         "sub": {"beta": (0.1, 0.9)}},
+        "exp_params": {"LR": (0.0005, 0.002), "kld_weight": 0.005},
+    }
+    spec = {"model_params": {"latent_dim": None, "sub": ["beta"]},
+            "exp_params": ["LR"]}
+    rng = random.Random(0)
+    seen_latent = set()
+    for _ in range(50):
+        t = hs.sample_params(config, spec, rng)
+        assert t["model_params"]["latent_dim"] in (4, 8, 16)
+        seen_latent.add(t["model_params"]["latent_dim"])
+        assert 0.1 <= t["model_params"]["sub"]["beta"] <= 0.9
+        assert 0.0005 <= t["exp_params"]["LR"] <= 0.002
+        # non-searched keys untouched
+        assert t["model_params"]["gamma"] == 0.5
+        assert t["exp_params"]["kld_weight"] == 0.005
+    assert seen_latent == {4, 8, 16}
+    # seeded reproducibility
+    a = hs.sample_params(config, spec, random.Random(7))
+    b = hs.sample_params(config, spec, random.Random(7))
+    assert a == b
 
 
-@pytest.mark.slow
-def test_hyp_search_cli(tmp_path):
-    tmp = str(tmp_path)
-    logdir = os.path.join(tmp, "logs")
-    cfg = {
+def test_sample_params_list_spec_converts_tuple_leaf():
+    """A list spec names keys whose values are converted by type —
+    a tuple-valued key under a list spec still becomes uniform."""
+    config = {"exp_params": {"LR": (0.1, 0.2), "wd": [0.0, 0.1]}}
+    t = hs.sample_params(config, {"exp_params": ["LR", "wd"]},
+                         random.Random(1))
+    assert 0.1 <= t["exp_params"]["LR"] <= 0.2
+    assert t["exp_params"]["wd"] in (0.0, 0.1)
+
+
+def test_select_best_lowest_loss_wins():
+    results = [{"trial": 0, "loss": 3.0}, {"trial": 1, "loss": 1.5},
+               {"trial": 2, "loss": float("inf")}]
+    assert hs.select_best(results)["trial"] == 1
+    assert hs.select_best([]) is None
+
+
+def test_yaml_tuple_roundtrip(tmp_path):
+    """!!python/tuple leaves survive yaml.dump -> yaml.full_load as
+    tuples (the reference's uniform-range notation)."""
+    path = os.path.join(str(tmp_path), "t.yaml")
+    with open(path, "w") as f:
+        yaml.dump({"exp_params": {"LR": (0.0005, 0.002)}}, f)
+    with open(path) as f:
+        loaded = yaml.full_load(f)
+    assert isinstance(loaded["exp_params"]["LR"], tuple)
+
+
+def _hyp_config(tmp, logdir):
+    return {
         "model_params": {"name": "VanillaVAE", "in_channels": 3,
                          "latent_dim": [4, 8], "img_size": 16,
                          "hidden_dims": [8, 16]},
         "data_params": {"data_path": "", "dataset_name": "Synthetic",
                         "train_batch_size": 8, "val_batch_size": 8,
                         "patch_size": 16, "limit": 24, "val_limit": 16},
-        "exp_params": {"LR": [0.0005, 0.002], "kld_weight": 0.005,
+        "exp_params": {"LR": (0.0005, 0.002), "kld_weight": 0.005,
                        "manual_seed": 3},
         "trainer_params": {"max_epochs": 1},
         "logging_params": {"save_dir": logdir, "name": "VanillaVAE"},
         "hyperparameter_search": {
             "num_samples": 2,
+            "resources_per_trial": {"cpu": 1, "gpu": 1},  # ignored knob
             "params": {"model_params": ["latent_dim"],
                        "exp_params": ["LR"]},
         },
     }
+
+
+def test_hyp_search_end_to_end_inprocess(tmp_path, monkeypatch, capsys):
+    tmp = str(tmp_path)
+    logdir = os.path.join(tmp, "logs")
     path = os.path.join(tmp, "hyp.yaml")
     with open(path, "w") as f:
-        yaml.safe_dump(cfg, f)
+        yaml.dump(_hyp_config(tmp, logdir), f)  # dump keeps the tuple
 
-    r = _run(["hyperparameter_search.py", "-c", path])
-    assert "=== best ===" in r.stdout
+    monkeypatch.setattr(sys, "argv", ["hyperparameter_search.py",
+                                      "-c", path])
+    hs.main()
+    out = capsys.readouterr().out
+    assert "=== best ===" in out
 
-    results_path = os.path.join(logdir, "VanillaVAE", "hyp_search",
-                                "results.json")
-    with open(results_path) as f:
+    with open(os.path.join(logdir, "VanillaVAE", "hyp_search",
+                           "results.json")) as f:
         results = json.load(f)
     assert len(results["trials"]) == 2
-    best = results["best"]
     losses = [t["loss"] for t in results["trials"]]
-    assert best["loss"] == min(losses)
-    # searched dims were sampled from their choice lists / uniform ranges
+    assert results["best"]["loss"] == min(losses)
     for t in results["trials"]:
-        assert t["params"]["model_params"]["latent_dim"] in (4, 8)
-        assert 0.0005 <= t["params"]["exp_params"]["LR"] <= 0.002
+        assert t["params"]["model_params.latent_dim"] in (4, 8)
+        assert 0.0005 <= t["params"]["exp_params.LR"] <= 0.002

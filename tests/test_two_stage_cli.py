@@ -1,9 +1,14 @@
-"""End-to-end two-stage CT recipe through the run.py CLI — pretrain,
-then weights-only restore + ct_layer-only training (the reference's
-headline workflow: run.py:85-89 + configs/ct_mcq_vae.yaml:37-38) — and
-the apply_action rollout tool on the resulting checkpoint."""
+"""End-to-end two-stage CT recipe through the run.py entry point —
+pretrain, then weights-only restore + ct_layer-only training (the
+reference's headline workflow: run.py:85-89 + configs/ct_mcq_vae.yaml:37-38)
+— and the apply_action rollout tool on the resulting checkpoint.
 
-import json
+Stages run IN-PROCESS (main() with patched argv) sharing the hermetic
+CPU backend from conftest.py; a separate bounded subprocess smoke test
+certifies the actual ``python run.py`` exec path with the in-entry-point
+platform override (round-1 subprocess tests hung on hosts whose
+sitecustomize pre-registers an accelerator backend)."""
+
 import os
 import subprocess
 import sys
@@ -23,9 +28,6 @@ MODEL = {"name": "CTMCQVAE", "in_channels": 3, "embedding_dim": 8,
 def _config(tmp, logdir, **exp_extra):
     cfg = {
         "model_params": dict(MODEL),
-        # limits keep single-core CPU epochs inside XLA's 40 s collective
-        # rendezvous window (the grid test split still has >=8 action
-        # transitions for apply_action)
         "data_params": {"data_path": "", "dataset_name": "TSynthetic",
                         "train_batch_size": 8, "val_batch_size": 8,
                         "patch_size": 16, "limit": 24, "val_limit": 16},
@@ -40,27 +42,22 @@ def _config(tmp, logdir, **exp_extra):
     return path
 
 
-def _run(args, cwd=REPO, timeout=1500):
-    # persistent compilation cache: the three subprocesses share compiled
-    # executables instead of re-tracing the CT model from scratch each
-    # time (wall-clock dominated by XLA compiles on the single-core CI)
-    env = dict(os.environ, JAX_PLATFORMS="cpu",
-               JAX_COMPILATION_CACHE_DIR="/tmp/ctvae_jax_cache",
-               JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS="2")
-    r = subprocess.run([sys.executable] + args, capture_output=True,
-                       text=True, cwd=cwd, env=env, timeout=timeout)
-    assert r.returncode == 0, r.stdout[-800:] + r.stderr[-2000:]
-    return r
+def _main_inprocess(monkeypatch, capsys, script, argv):
+    import importlib
+    mod = importlib.import_module(script)
+    monkeypatch.setattr(sys, "argv", [script + ".py"] + argv)
+    mod.main()
+    return capsys.readouterr().out
 
 
 @pytest.mark.slow
-def test_two_stage_recipe_and_apply_action(tmp_path):
+def test_two_stage_recipe_and_apply_action(tmp_path, monkeypatch, capsys):
     tmp = str(tmp_path)
     logdir = os.path.join(tmp, "logs")
 
     # stage 1: pretrain everything
     cfg1 = _config(tmp, logdir)
-    _run(["run.py", "-c", cfg1])
+    _main_inprocess(monkeypatch, capsys, "run", ["-c", cfg1])
     ckpt = os.path.join(logdir, "ct", "version_0", "checkpoints", "last")
     assert os.path.isdir(ckpt)
 
@@ -72,17 +69,59 @@ def test_two_stage_recipe_and_apply_action(tmp_path):
     cfg["trainer_params"]["load_weights_only"] = True
     with open(cfg2, "w") as f:
         yaml.safe_dump(cfg, f)
-    r = _run(["run.py", "-c", cfg2])
-    assert "loaded weights (only)" in r.stdout
+    out = _main_inprocess(monkeypatch, capsys, "run", ["-c", cfg2])
+    assert "loaded weights (only)" in out
 
     # apply_action on the stage-2 checkpoint
     ckpt2 = os.path.join(logdir, "ct", "version_1", "checkpoints", "last")
     assert os.path.isdir(ckpt2)
-    out = os.path.join(tmp, "images")
-    r = _run(["apply_action.py", "-c", cfg2, "--ckpt", ckpt2, "--out", out,
-              "--steps", "1"])
-    assert "causal_acc mean" in r.stdout or "rollout images" in r.stdout
+    imgdir = os.path.join(tmp, "images")
+    out = _main_inprocess(monkeypatch, capsys, "apply_action",
+                          ["-c", cfg2, "--ckpt", ckpt2, "--out", imgdir,
+                           "--steps", "1"])
+    assert "causal_acc mean" in out or "rollout images" in out
     rollouts = []
-    for root, _, files in os.walk(out):
+    for root, _, files in os.walk(imgdir):
         rollouts += [f for f in files if f.endswith(".png")]
     assert len(rollouts) >= 1 + 2 * (MODEL["action_dim"] // 2)
+
+
+@pytest.mark.slow
+def test_run_cli_subprocess_smoke(tmp_path):
+    """The actual ``python run.py`` exec path must be hermetic under
+    JAX_PLATFORMS=cpu: the entry point applies the platform override
+    in-process (ctvae_tpu/utils/platform.py), so this cannot touch (or
+    hang on) a site-registered accelerator runtime. Single CPU device,
+    tiny VanillaVAE — bounded well under the timeout."""
+    tmp = str(tmp_path)
+    logdir = os.path.join(tmp, "logs")
+    cfg = {
+        "model_params": {"name": "VanillaVAE", "in_channels": 3,
+                         "latent_dim": 4, "img_size": 16,
+                         "hidden_dims": [8, 16]},
+        "data_params": {"data_path": "", "dataset_name": "Synthetic",
+                        "train_batch_size": 8, "val_batch_size": 8,
+                        "patch_size": 16, "limit": 16, "val_limit": 8},
+        "exp_params": {"LR": 0.001, "kld_weight": 0.005,
+                       "manual_seed": 1},
+        "trainer_params": {"max_epochs": 1},
+        "logging_params": {"save_dir": logdir, "name": "vv"},
+    }
+    path = os.path.join(tmp, "cfg.yaml")
+    with open(path, "w") as f:
+        yaml.safe_dump(cfg, f)
+
+    env = dict(os.environ, JAX_PLATFORMS="cpu",
+               JAX_COMPILATION_CACHE_DIR="/tmp/ctvae_jax_cache",
+               JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS="2")
+    # single device: drop the 8-virtual-device flag inherited from
+    # conftest so the subprocess compiles the cheapest possible step
+    env["XLA_FLAGS"] = env.get("XLA_FLAGS", "").replace(
+        "--xla_force_host_platform_device_count=8", "").strip()
+    r = subprocess.run([sys.executable, "run.py", "-c", path],
+                       capture_output=True, text=True, cwd=REPO, env=env,
+                       timeout=600)
+    assert r.returncode == 0, r.stdout[-800:] + r.stderr[-2000:]
+    assert "on 1 device(s)" in r.stdout, r.stdout[-800:]
+    assert os.path.isdir(os.path.join(logdir, "vv", "version_0",
+                                      "checkpoints", "last"))

@@ -1,0 +1,138 @@
+"""DFC perceptual feature network vs torchvision vgg19_bn semantics.
+
+torchvision is not installed (and this host has no egress), so ground
+truth is a self-written torch VGG19-bn whose ``state_dict`` keys/layout
+exactly match torchvision's (``features.{i}.weight`` with the config-E
+Sequential indexing the reference taps at {'14','24','34','43'},
+/root/reference/models/dfcvae.py:81-87, :152-161). This certifies:
+
+* ``load_vgg19_bn_weights`` consumes a REAL torchvision-format
+  state_dict (every tensor name, shape, and OIHW->HWIO transpose),
+* the NHWC Flax reimplementation reproduces the tapped activations of
+  the torch network bit-for-bit-ish once weights are transplanted,
+* ``attach_pretrained_vgg`` loads from CTVAE_VGG19_WEIGHTS and warns
+  loudly when no weights exist.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+from torch import nn  # noqa: E402
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from ctvae_tpu.models.vgg import (FrozenVGG19BN,  # noqa: E402
+                                  attach_pretrained_vgg,
+                                  load_vgg19_bn_weights)
+
+CFG = [64, 64, "M", 128, 128, "M", 256, 256, 256, 256, "M",
+       512, 512, 512, 512, "M", 512, 512, 512, 512, "M"]
+
+
+class TorchVGG19BN(nn.Module):
+    """torchvision-identical module tree: state_dict keys are
+    ``features.{i}.{weight,bias,running_mean,running_var}``."""
+
+    def __init__(self):
+        super().__init__()
+        layers, in_ch = [], 3
+        for v in CFG:
+            if v == "M":
+                layers.append(nn.MaxPool2d(kernel_size=2, stride=2))
+            else:
+                layers += [nn.Conv2d(in_ch, v, kernel_size=3, padding=1),
+                           nn.BatchNorm2d(v), nn.ReLU(inplace=True)]
+                in_ch = v
+        self.features = nn.Sequential(*layers)
+
+    def extract(self, x, wanted=(14, 24, 34, 43)):
+        feats = []
+        for idx, mod in enumerate(self.features):
+            x = mod(x)
+            if idx in wanted:
+                feats.append(x)
+            if idx >= max(wanted):
+                break
+        return feats
+
+
+@pytest.fixture(scope="module")
+def vgg_pair(tmp_path_factory):
+    torch.manual_seed(0)
+    tm = TorchVGG19BN()
+    # non-trivial BN stats and biases so the comparison has teeth
+    with torch.no_grad():
+        for m in tm.features:
+            if isinstance(m, nn.BatchNorm2d):
+                m.running_mean.normal_(0, 0.3)
+                m.running_var.uniform_(0.5, 2.0)
+                m.weight.normal_(1.0, 0.2)
+                m.bias.normal_(0, 0.2)
+            elif isinstance(m, nn.Conv2d):
+                m.bias.normal_(0, 0.1)
+    tm.eval()
+    path = str(tmp_path_factory.mktemp("w") / "vgg19_bn.pth")
+    torch.save(tm.state_dict(), path)
+
+    fm = FrozenVGG19BN()
+    x0 = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    variables = fm.init(jax.random.PRNGKey(0), x0)
+    frozen = load_vgg19_bn_weights(
+        dict(variables["frozen"]["FrozenVGG19BN_0"]
+             if "FrozenVGG19BN_0" in variables["frozen"]
+             else variables["frozen"]), path)
+    return tm, fm, frozen, path
+
+
+def test_state_dict_fully_consumed(vgg_pair):
+    """Every frozen leaf is overwritten from the state_dict (no key
+    silently left at its random init)."""
+    tm, fm, frozen, path = vgg_pair
+    x0 = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    fresh = FrozenVGG19BN().init(jax.random.PRNGKey(0), x0)["frozen"]
+    fresh = dict(fresh.get("FrozenVGG19BN_0", fresh))
+    changed = sum(
+        not np.allclose(np.asarray(fresh[k]), np.asarray(frozen[k]))
+        for k in fresh if k.endswith(("kernel", "_mean")))
+    total = sum(1 for k in fresh if k.endswith(("kernel", "_mean")))
+    assert changed == total, f"only {changed}/{total} leaves loaded"
+
+
+def test_tapped_activations_match_torch(vgg_pair):
+    tm, fm, frozen, _ = vgg_pair
+    rng = np.random.default_rng(0)
+    x = rng.uniform(0, 1, size=(2, 64, 64, 3)).astype(np.float32)
+    with torch.no_grad():
+        ref = tm.extract(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+    ours = fm.apply({"frozen": frozen}, jnp.asarray(x))
+    assert len(ours) == len(ref) == 4
+    for o, r in zip(ours, ref):
+        np.testing.assert_allclose(
+            np.asarray(o).transpose(0, 3, 1, 2), r.numpy(),
+            rtol=1e-3, atol=1e-4)
+
+
+def test_attach_pretrained_env_and_warning(vgg_pair, monkeypatch):
+    tm, fm, frozen, path = vgg_pair
+    x0 = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    fresh = FrozenVGG19BN().init(jax.random.PRNGKey(0), x0)["frozen"]
+    model_state = {"frozen": {"feature_network": dict(
+        fresh.get("FrozenVGG19BN_0", fresh))}}
+
+    monkeypatch.setenv("CTVAE_VGG19_WEIGHTS", path)
+    loaded = attach_pretrained_vgg(model_state)
+    inner = loaded["frozen"]["feature_network"]
+    np.testing.assert_allclose(
+        np.asarray(inner["conv0_kernel"]),
+        tm.features[0].weight.detach().numpy().transpose(2, 3, 1, 0),
+        rtol=1e-6)
+
+    monkeypatch.setenv("CTVAE_VGG19_WEIGHTS", "/nonexistent/x.pth")
+    monkeypatch.delenv("HOME", raising=False)
+    with pytest.warns(UserWarning, match="RANDOM features"):
+        out = attach_pretrained_vgg(model_state)
+    assert out is model_state or out == model_state
