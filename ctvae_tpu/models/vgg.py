@@ -50,7 +50,20 @@ class FrozenVGG19BN(nn.Module):
     @nn.compact
     def __call__(self, x: Array) -> List[Array]:
         plan = _sequential_plan()
-        wanted = {int(k) for k in self.feature_layers}
+        # torchvision's features Sequential uses ReLU(inplace=True): the
+        # reference's tap loop (/root/reference/models/dfcvae.py:152-161)
+        # appends the BatchNorm output tensor and the NEXT module then
+        # mutates it in place — so a tap at a bn index ('24', '34')
+        # effectively yields the post-ReLU activation. Conv taps ('14',
+        # '43') are safe (BatchNorm is not inplace). Reproduce exactly.
+        def effective(idx: int) -> int:
+            if (plan[idx][0] == "bn" and idx + 1 < len(plan)
+                    and plan[idx + 1][0] == "relu"):
+                return idx + 1
+            return idx
+
+        order = [int(k) for k in self.feature_layers]
+        wanted = {effective(i): pos for pos, i in enumerate(order)}
         max_idx = max(wanted)
         feats = []
         he = nn.initializers.he_normal()
@@ -81,10 +94,10 @@ class FrozenVGG19BN(nn.Module):
                 x = jax.lax.reduce_window(x, -jnp.inf, jax.lax.max,
                                           (1, 2, 2, 1), (1, 2, 2, 1), "VALID")
             if idx in wanted:
-                feats.append(x)
+                feats.append((wanted[idx], x))
             if idx >= max_idx:
                 break
-        return feats
+        return [x for _, x in sorted(feats, key=lambda t: t[0])]
 
 
 def find_pretrained_weights() -> "str | None":
