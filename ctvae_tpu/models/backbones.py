@@ -27,6 +27,11 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+
+def upcast32(x):
+    return x.astype(jnp.promote_types(x.dtype, jnp.float32))
+
+
 Array = jax.Array
 
 DEFAULT_HIDDEN_DIMS = (32, 64, 128, 256, 512)
@@ -44,8 +49,11 @@ class ConvBNBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: Array, *, train: bool) -> Array:
-        x = nn.Conv(self.features, (3, 3), strides=(2, 2), padding="SAME",
-                    dtype=self.dtype)(x)
+        # explicit (1,1) padding == torch Conv2d(k3, s2, p1) exactly;
+        # XLA 'SAME' would pad (0,1) — same shape, shifted values
+        # (verified numerically in tests/test_backbone_parity.py)
+        x = nn.Conv(self.features, (3, 3), strides=(2, 2),
+                    padding=((1, 1), (1, 1)), dtype=self.dtype)(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, dtype=self.dtype)(x)
         return leaky_relu(x)
@@ -59,8 +67,11 @@ class DeconvBNBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: Array, *, train: bool) -> Array:
+        # (1,2) padding == torch ConvTranspose2d(k3, s2, p1,
+        # output_padding=1) up to torch's kernel flip (converters flip;
+        # for training from scratch the init distribution is symmetric)
         x = nn.ConvTranspose(self.features, (3, 3), strides=(2, 2),
-                             padding="SAME", dtype=self.dtype)(x)
+                             padding=((1, 2), (1, 2)), dtype=self.dtype)(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, dtype=self.dtype)(x)
         return leaky_relu(x)
@@ -105,7 +116,7 @@ class ConvDecoder(nn.Module):
         x = nn.Conv(self.out_channels, (3, 3), padding="SAME", dtype=self.dtype)(x)
         if self.final_tanh:
             x = jnp.tanh(x)
-        return x.astype(jnp.float32)
+        return upcast32(x)
 
 
 class GaussianHead(nn.Module):
@@ -123,7 +134,7 @@ class GaussianHead(nn.Module):
         flat = feat.reshape(feat.shape[0], -1)
         mu = nn.Dense(self.latent_dim, dtype=self.dtype, name="fc_mu")(flat)
         log_var = nn.Dense(self.latent_dim, dtype=self.dtype, name="fc_var")(flat)
-        return mu.astype(jnp.float32), log_var.astype(jnp.float32)
+        return upcast32(mu), upcast32(log_var)
 
 
 class DecoderInput(nn.Module):
@@ -147,17 +158,18 @@ class DecoderInput(nn.Module):
 
 class ResidualLayer(nn.Module):
     """3x3 conv -> ReLU -> 1x1 conv with skip — matches the reference
-    ``ResidualLayer`` (/root/reference/models/vq_vae.py:57-70: bias-free
-    convs, ReLU *before* the 3x3 conv)."""
+    ``ResidualLayer`` exactly (/root/reference/models/vq_vae.py:57-70:
+    ``Sequential(Conv3x3, ReLU, Conv1x1)``, bias-free convs, added to
+    the input; note there is NO activation before the 3x3 conv)."""
 
     features: int
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
-        r = nn.relu(x)
         r = nn.Conv(self.features, (3, 3), padding="SAME", use_bias=False,
-                    dtype=self.dtype)(r)
+                    dtype=self.dtype)(x)
+        r = nn.relu(r)
         r = nn.Conv(self.features, (1, 1), use_bias=False, dtype=self.dtype)(r)
         return x + r
 
@@ -212,4 +224,4 @@ class VQDecoder(nn.Module):
             x = leaky_relu(x)
         x = nn.ConvTranspose(self.out_channels, (4, 4), strides=(2, 2),
                              padding="SAME", dtype=self.dtype)(x)
-        return jnp.tanh(x).astype(jnp.float32)
+        return upcast32(jnp.tanh(x))

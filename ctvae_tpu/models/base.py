@@ -71,17 +71,24 @@ class BaseVAE(nn.Module):
 # Shared loss helpers (pure jnp; fused by XLA into the surrounding step).
 # ---------------------------------------------------------------------------
 
+def upcast32(x: Array) -> Array:
+    """Promote to at least float32 (bf16 compute -> f32 loss math) —
+    never downcast: float64 stays float64, which the float64 e2e
+    trajectory-parity driver (tests/e2e_trajectory_driver.py) relies on."""
+    return x.astype(jnp.promote_types(x.dtype, jnp.float32))
+
+
 def mse_loss(pred: Array, target: Array) -> Array:
     """Mean-reduced MSE, matching ``F.mse_loss`` defaults."""
-    diff = pred.astype(jnp.float32) - target.astype(jnp.float32)
+    diff = upcast32(pred) - upcast32(target)
     return jnp.mean(jnp.square(diff))
 
 
 def gaussian_kl(mu: Array, log_var: Array) -> Array:
     """KL(N(mu, sigma) || N(0, 1)) summed over latent dim, mean over batch
     (reference /root/reference/models/vanilla_vae.py:143)."""
-    mu = mu.astype(jnp.float32)
-    log_var = log_var.astype(jnp.float32)
+    mu = upcast32(mu)
+    log_var = upcast32(log_var)
     per_ex = -0.5 * jnp.sum(1.0 + log_var - jnp.square(mu) - jnp.exp(log_var), axis=1)
     return jnp.mean(per_ex)
 
@@ -99,7 +106,7 @@ def cross_entropy_from_probs(probs: Array, labels: Array, eps: float = 1e-4) -> 
     clamped log-probs as *logits* (an extra log-softmax is applied inside
     torch's cross_entropy; we match that semantics exactly, e.g.
     /root/reference/models/ct_mcq_vae.py:609)."""
-    logits = jnp.log(jnp.clip(probs.astype(jnp.float32), eps, None))
+    logits = jnp.log(jnp.clip(upcast32(probs), eps, None))
     logp = jax.nn.log_softmax(logits, axis=-1)
     nll = -jnp.take_along_axis(logp, labels[..., None].astype(jnp.int32), axis=-1)
     return jnp.mean(nll)

@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 
 from .backbones import leaky_relu
-from .base import Array, BaseVAE, ModelOutput, reparameterize
+from .base import (Array, BaseVAE, ModelOutput, reparameterize, upcast32)
 
 
 def log_density_gaussian(x: Array, mu: Array, log_var: Array) -> Array:
@@ -62,10 +62,12 @@ class BetaTCVAE(BaseVAE):
         self.decoder_input = nn.Dense(hd[-1] * self._feat_hw * self._feat_hw,
                                       dtype=self.dtype)
         self.dec_convs = [
-            nn.ConvTranspose(h, (3, 3), strides=(2, 2), padding="SAME",
+            nn.ConvTranspose(h, (3, 3), strides=(2, 2),
+                             padding=((1, 2), (1, 2)),
                              dtype=self.dtype) for h in list(hd)[::-1][1:]]
         self.dec_final_up = nn.ConvTranspose(hd[0], (3, 3), strides=(2, 2),
-                                             padding="SAME", dtype=self.dtype)
+                                             padding=((1, 2), (1, 2)),
+                                             dtype=self.dtype)
         self.dec_final_conv = nn.Conv(self.in_channels, (3, 3),
                                       padding="SAME", dtype=self.dtype)
 
@@ -86,7 +88,7 @@ class BetaTCVAE(BaseVAE):
         x = self.fc(x)
         mu = self.fc_mu(x)
         lv = self.fc_var(x)
-        return mu.astype(jnp.float32), lv.astype(jnp.float32)
+        return upcast32(mu), upcast32(lv)
 
     def _decode(self, z: Array) -> Array:
         hd = list(self._hdims)
@@ -97,7 +99,7 @@ class BetaTCVAE(BaseVAE):
             x = leaky_relu(conv(x))
         x = leaky_relu(self.dec_final_up(x))
         x = self.dec_final_conv(x)
-        return jnp.tanh(x).astype(jnp.float32)
+        return upcast32(jnp.tanh(x))
 
     def encode(self, x: Array, *, train: bool = False):
         return list(self._encode(x))

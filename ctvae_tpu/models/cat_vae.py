@@ -14,7 +14,7 @@ from typing import Dict
 import jax
 import jax.numpy as jnp
 
-from .base import Array, ModelOutput
+from .base import (Array, ModelOutput, upcast32)
 from .gaussian_base import StandardGaussianVAE
 
 import flax.linen as nn
@@ -60,7 +60,7 @@ class CategoricalVAE(StandardGaussianVAE):
 
     def encode(self, x: Array, *, train: bool = False):
         feat = self.encoder(x, train=train)
-        z = self.fc_z(feat.reshape(feat.shape[0], -1)).astype(jnp.float32)
+        z = upcast32(self.fc_z(feat.reshape(feat.shape[0], -1)))
         return [z.reshape(-1, self.latent_dim, self.categorical_dim)]
 
     def decode(self, z: Array, *, train: bool = False) -> Array:

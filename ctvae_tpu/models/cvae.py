@@ -14,7 +14,7 @@ import jax.numpy as jnp
 
 from .backbones import (ConvDecoder, ConvEncoder, DEFAULT_HIDDEN_DIMS,
                         GaussianHead)
-from .base import Array, BaseVAE, ModelOutput, gaussian_kl, mse_loss, reparameterize
+from .base import (Array, BaseVAE, ModelOutput, gaussian_kl, mse_loss, reparameterize, upcast32)
 
 
 class ConditionalVAE(BaseVAE):
@@ -57,7 +57,7 @@ class ConditionalVAE(BaseVAE):
 
     def __call__(self, x: Array, labels: Array = None, *,
                  train: bool = False, **kwargs) -> ModelOutput:
-        y = labels.astype(jnp.float32)
+        y = upcast32(labels)
         emb_class = self.embed_class(y).reshape(
             -1, self.img_size, self.img_size, 1)
         emb_data = self.embed_data(x)
@@ -73,7 +73,7 @@ class ConditionalVAE(BaseVAE):
 
     def sample(self, num_samples: int, labels: Array = None, *,
                train: bool = False) -> Array:
-        y = labels.astype(jnp.float32)[:num_samples]
+        y = upcast32(labels)[:num_samples]
         z = jax.random.normal(self.make_rng("reparam"),
                               (num_samples, self.latent_dim))
         return self.decode(jnp.concatenate([z, y], axis=1), train=train)

@@ -16,7 +16,7 @@ from typing import Dict
 
 import jax.numpy as jnp
 
-from .base import Array, ModelOutput
+from .base import (Array, ModelOutput, upcast32)
 from .gaussian_base import StandardGaussianVAE
 
 
@@ -27,8 +27,8 @@ class DIPVAE(StandardGaussianVAE):
     def loss_function(self, outputs: ModelOutput, *, M_N: float = 1.0,
                       **kwargs) -> Dict[str, Array]:
         recons, x = outputs["recons"], outputs["input"]
-        mu = outputs["mu"].astype(jnp.float32)
-        log_var = outputs["log_var"].astype(jnp.float32)
+        mu = upcast32(outputs["mu"])
+        log_var = upcast32(outputs["log_var"])
 
         recons_loss = jnp.sum(jnp.square(recons - x))  # reduction='sum'
         kld = jnp.sum(-0.5 * jnp.sum(

@@ -23,7 +23,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from .base import Array, ModelOutput, gaussian_kl, mse_loss, reparameterize
+from .base import (Array, ModelOutput, gaussian_kl, mse_loss, reparameterize, upcast32)
 from .gaussian_base import StandardGaussianVAE
 
 
@@ -41,7 +41,7 @@ class LatentDiscriminator(nn.Module):
             x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                              epsilon=1e-5, dtype=self.dtype)(x)
             x = nn.leaky_relu(x, negative_slope=0.2)
-        return nn.Dense(2, dtype=self.dtype)(x).astype(jnp.float32)
+        return upcast32(nn.Dense(2, dtype=self.dtype)(x))
 
 
 def permute_latent(rng: Array, z: Array) -> Array:

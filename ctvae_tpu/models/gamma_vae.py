@@ -20,7 +20,7 @@ from jax.scipy.special import digamma, gammaln
 
 from .backbones import (ConvDecoder, ConvEncoder, DecoderInput,
                         DEFAULT_HIDDEN_DIMS)
-from .base import Array, BaseVAE, ModelOutput
+from .base import (Array, BaseVAE, ModelOutput, upcast32)
 
 
 class GammaVAE(BaseVAE):
@@ -57,8 +57,8 @@ class GammaVAE(BaseVAE):
     def encode(self, x: Array, *, train: bool = False):
         feat = self.encoder(x, train=train)
         flat = feat.reshape(feat.shape[0], -1)
-        alpha = jax.nn.softmax(self.fc_mu(flat).astype(jnp.float32), axis=-1)
-        beta = jax.nn.softmax(self.fc_var(flat).astype(jnp.float32), axis=-1)
+        alpha = jax.nn.softmax(upcast32(self.fc_mu(flat)), axis=-1)
+        beta = jax.nn.softmax(upcast32(self.fc_var(flat)), axis=-1)
         return [alpha, beta]
 
     def decode(self, z: Array, *, train: bool = False) -> Array:

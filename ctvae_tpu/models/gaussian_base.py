@@ -19,7 +19,7 @@ import jax.numpy as jnp
 
 from .backbones import (ConvDecoder, ConvEncoder, DecoderInput,
                         DEFAULT_HIDDEN_DIMS, GaussianHead)
-from .base import Array, BaseVAE, ModelOutput, reparameterize
+from .base import (Array, BaseVAE, ModelOutput, reparameterize, upcast32)
 
 import flax.linen as nn
 
@@ -55,7 +55,7 @@ class StandardGaussianVAE(BaseVAE):
     def encode(self, x: Array, *, train: bool = False):
         feat = self.encoder(x, train=train)
         if self.deterministic:
-            z = self.fc_z(feat.reshape(feat.shape[0], -1)).astype(jnp.float32)
+            z = upcast32(self.fc_z(feat.reshape(feat.shape[0], -1)))
             return [z]
         mu, log_var = self.head(feat)
         return [mu, log_var]

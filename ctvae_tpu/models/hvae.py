@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 
 from .backbones import ConvDecoder, ConvEncoder, DEFAULT_HIDDEN_DIMS, GaussianHead
-from .base import Array, BaseVAE, ModelOutput, mse_loss, reparameterize
+from .base import (Array, BaseVAE, ModelOutput, mse_loss, reparameterize, upcast32)
 
 
 class HVAE(BaseVAE):
@@ -82,8 +82,8 @@ class HVAE(BaseVAE):
         z1 = reparameterize(self.make_rng("reparam"), z1_mu, z1_log_var)
         recons = self._decode_z1z2(z1, z2, train=train)
         # prior head p(z1|z2) — computed here so the loss is pure arithmetic
-        z1_p_mu = self.recons_z1_mu(z2).astype(jnp.float32)
-        z1_p_log_var = self.recons_z1_log_var(z2).astype(jnp.float32)
+        z1_p_mu = upcast32(self.recons_z1_mu(z2))
+        z1_p_log_var = upcast32(self.recons_z1_log_var(z2))
         return {"recons": recons, "input": x, "z1_mu": z1_mu,
                 "z1_log_var": z1_log_var, "z2_mu": z2_mu,
                 "z2_log_var": z2_log_var, "z1": z1, "z2": z2,
@@ -93,8 +93,8 @@ class HVAE(BaseVAE):
         rng = self.make_rng("reparam")
         rng_z2, rng_z1 = jax.random.split(rng)
         z2 = jax.random.normal(rng_z2, (num_samples, self.latent2_dim))
-        z1_mu = self.recons_z1_mu(z2).astype(jnp.float32)
-        z1_log_var = self.recons_z1_log_var(z2).astype(jnp.float32)
+        z1_mu = upcast32(self.recons_z1_mu(z2))
+        z1_log_var = upcast32(self.recons_z1_log_var(z2))
         z1 = reparameterize(rng_z1, z1_mu, z1_log_var)
         return self._decode_z1z2(z1, z2, train=train)
 

@@ -14,7 +14,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from .base import Array, ModelOutput, gaussian_kl, reparameterize
+from .base import (Array, ModelOutput, gaussian_kl, reparameterize, upcast32)
 from .cat_vae import gumbel_softmax_sample
 from .gaussian_base import StandardGaussianVAE
 
@@ -43,7 +43,7 @@ class JointVAE(StandardGaussianVAE):
         feat = self.encoder(x, train=train)
         flat = feat.reshape(feat.shape[0], -1)
         mu, log_var = self.head(feat)
-        q = self.fc_z(flat).astype(jnp.float32)
+        q = upcast32(self.fc_z(flat))
         return [mu, log_var, q]
 
     def decode(self, z: Array, *, train: bool = False) -> Array:

@@ -9,7 +9,7 @@ from typing import Dict
 
 import jax.numpy as jnp
 
-from .base import Array, ModelOutput, gaussian_kl
+from .base import (Array, ModelOutput, gaussian_kl, upcast32)
 from .gaussian_base import StandardGaussianVAE
 
 
@@ -19,7 +19,7 @@ class LogCoshVAE(StandardGaussianVAE):
 
     def loss_function(self, outputs: ModelOutput, *, M_N: float = 1.0,
                       **kwargs) -> Dict[str, Array]:
-        t = (outputs["recons"] - outputs["input"]).astype(jnp.float32)
+        t = upcast32((outputs["recons"] - outputs["input"]))
         # log(cosh(a*t)) = |a*t| + log(1 + exp(-2|a*t|)) - log(2).
         # The reference writes this without the |.| (logcosh_vae.py:146-148),
         # which overflows to inf for a*t << 0; log-cosh is even, so the

@@ -14,7 +14,7 @@ import jax
 import jax.numpy as jnp
 
 from .backbones import leaky_relu
-from .base import Array, BaseVAE, ModelOutput, mse_loss, reparameterize
+from .base import (Array, BaseVAE, ModelOutput, mse_loss, reparameterize, upcast32)
 
 
 class EncoderBlock(nn.Module):
@@ -24,16 +24,17 @@ class EncoderBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: Array, *, train: bool):
-        h = nn.Conv(self.out_channels, (3, 3), strides=(2, 2), padding="SAME",
+        h = nn.Conv(self.out_channels, (3, 3), strides=(2, 2),
+                    padding=((1, 1), (1, 1)),
                     dtype=self.dtype)(x)
         h = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, dtype=self.dtype)(h)
         h = leaky_relu(h)
         flat = h.reshape(h.shape[0], -1)
-        mu = nn.Dense(self.latent_dim, dtype=self.dtype,
-                      name="encoder_mu")(flat).astype(jnp.float32)
-        log_var = nn.Dense(self.latent_dim, dtype=self.dtype,
-                           name="encoder_var")(flat).astype(jnp.float32)
+        mu = upcast32(nn.Dense(self.latent_dim, dtype=self.dtype,
+                      name="encoder_mu")(flat))
+        log_var = upcast32(nn.Dense(self.latent_dim, dtype=self.dtype,
+                           name="encoder_var")(flat))
         return h, mu, log_var
 
 
@@ -46,10 +47,10 @@ class LadderBlock(nn.Module):
         z = nn.Dense(self.latent_dim, dtype=self.dtype)(z)
         z = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, dtype=self.dtype)(z)
-        mu = nn.Dense(self.latent_dim, dtype=self.dtype,
-                      name="fc_mu")(z).astype(jnp.float32)
-        log_var = nn.Dense(self.latent_dim, dtype=self.dtype,
-                           name="fc_var")(z).astype(jnp.float32)
+        mu = upcast32(nn.Dense(self.latent_dim, dtype=self.dtype,
+                      name="fc_mu")(z))
+        log_var = upcast32(nn.Dense(self.latent_dim, dtype=self.dtype,
+                           name="fc_var")(z))
         return mu, log_var
 
 
@@ -86,12 +87,14 @@ class LVAE(BaseVAE):
         self.decoder_input = nn.Dense(
             self.hidden_dims[-1] * feat_hw * feat_hw, dtype=self.dtype)
         self.dec_blocks = [
-            (nn.ConvTranspose(h, (3, 3), strides=(2, 2), padding="SAME",
+            (nn.ConvTranspose(h, (3, 3), strides=(2, 2),
+                              padding=((1, 2), (1, 2)),
                               dtype=self.dtype),
              nn.BatchNorm(momentum=0.9, epsilon=1e-5, dtype=self.dtype))
             for h in list(self.hidden_dims)[::-1][1:]]
         self.final_up = nn.ConvTranspose(self.hidden_dims[0], (3, 3),
-                                         strides=(2, 2), padding="SAME",
+                                         strides=(2, 2),
+                                         padding=((1, 2), (1, 2)),
                                          dtype=self.dtype)
         self.final_bn = nn.BatchNorm(momentum=0.9, epsilon=1e-5,
                                      dtype=self.dtype)
@@ -113,7 +116,7 @@ class LVAE(BaseVAE):
             h = leaky_relu(bn(conv(h), use_running_average=not train))
         h = leaky_relu(self.final_bn(self.final_up(h),
                                      use_running_average=not train))
-        return jnp.tanh(self.final_conv(h)).astype(jnp.float32)
+        return upcast32(jnp.tanh(self.final_conv(h)))
 
     def __call__(self, x: Array, *, train: bool = False, **kwargs) -> ModelOutput:
         post_params = self.encode(x, train=train)

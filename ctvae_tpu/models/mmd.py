@@ -15,6 +15,11 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+
+def upcast32(x):
+    return x.astype(jnp.promote_types(x.dtype, jnp.float32))
+
+
 Array = jax.Array
 
 
@@ -47,7 +52,7 @@ def compute_mmd(rng: Array, z: Array, kernel_type: str, z_var: float,
                 prior_z: Array = None) -> Array:
     """MMD(q(z) || N(0, I)) with a fresh prior sample per call.
     ``prior_z`` pins the prior draw (determinism / parity tests)."""
-    z = z.astype(jnp.float32)
+    z = upcast32(z)
     if prior_z is None:
         prior_z = jax.random.normal(rng, z.shape)
     pp = compute_kernel(prior_z, prior_z, kernel_type, z_var)

@@ -11,7 +11,7 @@ from typing import Dict
 import jax
 import jax.numpy as jnp
 
-from .base import Array, ModelOutput, mse_loss
+from .base import (Array, ModelOutput, mse_loss, upcast32)
 from .gaussian_base import StandardGaussianVAE
 
 
@@ -35,7 +35,7 @@ class SWAE(StandardGaussianVAE):
     def compute_swd(self, rng: Array, z: Array, prior_z: Array = None,
                     proj: Array = None) -> Array:
         """``prior_z`` / ``proj`` pin the random draws (parity tests)."""
-        z = z.astype(jnp.float32)
+        z = upcast32(z)
         batch_size = z.shape[0]
         reg = self.reg_weight / (batch_size * (batch_size - 1))
         rng_prior, rng_proj = jax.random.split(rng) if rng is not None \

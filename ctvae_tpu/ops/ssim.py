@@ -17,6 +17,11 @@ import functools
 
 import jax
 import jax.numpy as jnp
+
+
+def upcast32(x):
+    return x.astype(jnp.promote_types(x.dtype, jnp.float32))
+
 import numpy as np
 
 Array = jax.Array
@@ -70,8 +75,8 @@ def mssim_loss(img1: Array, img2: Array, window_size: int = 11,
     fractional powers — the stabilization the reference ships commented
     out (mssim_vae.py:271-274); without it, negative cs values at early
     training NaN the loss (pow of a negative base). Default on."""
-    img1 = img1.astype(jnp.float32)
-    img2 = img2.astype(jnp.float32)
+    img1 = upcast32(img1)
+    img2 = upcast32(img2)
     window = jnp.asarray(_window_np(window_size, sigma))
     weights = jnp.asarray(_MSSSIM_WEIGHTS)
     mssim, mcs = [], []

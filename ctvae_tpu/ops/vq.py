@@ -20,6 +20,11 @@ import os
 
 import jax
 import jax.numpy as jnp
+
+
+def upcast32(x):
+    return x.astype(jnp.promote_types(x.dtype, jnp.float32))
+
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -34,8 +39,8 @@ def _round_up(x: int, m: int) -> int:
 
 def l2_argmin_xla(flat: Array, codebook: Array) -> Array:
     """[N, D] x [K, D] -> int32 [N]: index of nearest codebook row."""
-    flat = flat.astype(jnp.float32)
-    codebook = codebook.astype(jnp.float32)
+    flat = upcast32(flat)
+    codebook = upcast32(codebook)
     dist = (jnp.sum(flat ** 2, axis=1, keepdims=True)
             + jnp.sum(codebook ** 2, axis=1)
             - 2.0 * flat @ codebook.T)
@@ -48,8 +53,8 @@ def _vq_kernel(x_ref, cb_ref, out_ref):
     ||x||^2 is constant per row and does not affect the argmin, so only
     the cross term and codebook norms are computed.
     """
-    x = x_ref[:].astype(jnp.float32)                      # [TN, D]
-    cb = cb_ref[:].astype(jnp.float32)                    # [K, D]
+    x = upcast32(x_ref[:])                      # [TN, D]
+    cb = upcast32(cb_ref[:])                    # [K, D]
     cb_norm = jnp.sum(cb * cb, axis=1)                    # [K]
     scores = cb_norm[None, :] - 2.0 * jax.lax.dot_general(
         x, cb, (((1,), (1,)), ((), ())),

@@ -1,0 +1,194 @@
+"""Full-model weight transplant: reference torch models -> ctvae_tpu
+Flax param/batch_stats pytrees.
+
+Layout conventions (verified numerically in tests/test_backbone_parity.py):
+* Conv2d OIHW -> flax HWIO,
+* ConvTranspose2d [in, out, kh, kw] -> flax (kh, kw, in, out) with the
+  spatial taps FLIPPED (torch transposed conv correlates with the
+  flipped kernel; flax ConvTranspose does not flip),
+* Linear [out, in] -> kernel [in, out],
+* heads/fc layers that consume a FLATTENED feature map must permute the
+  input axis C-major (torch NCHW flatten) -> HWC-major (our NHWC
+  flatten); producers (decoder_input) permute the output axis likewise.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def t2n(t):
+    # .copy() matters: .numpy() SHARES memory with the tensor, and an
+    # in-place optimizer step on the torch side would silently mutate
+    # an un-copied transplant
+    return t.detach().cpu().numpy().copy()
+
+
+def conv(m):
+    return {"kernel": t2n(m.weight).transpose(2, 3, 1, 0),
+            "bias": t2n(m.bias)}
+
+
+def conv_nobias(m):
+    return {"kernel": t2n(m.weight).transpose(2, 3, 1, 0)}
+
+
+def convT(m):
+    k = t2n(m.weight).transpose(2, 3, 0, 1)  # [kh, kw, in, out]
+    out = {"kernel": np.ascontiguousarray(k[::-1, ::-1])}
+    if m.bias is not None:
+        out["bias"] = t2n(m.bias)
+    return out
+
+
+def linear(m):
+    return {"kernel": t2n(m.weight).T, "bias": t2n(m.bias)}
+
+
+def linear_flat_in(m, c, h, w):
+    """Linear over a flattened [C,h,w] feature map -> NHWC flatten."""
+    W = t2n(m.weight)                      # [out, C*h*w]
+    W = W.reshape(-1, c, h, w).transpose(0, 2, 3, 1).reshape(W.shape[0], -1)
+    return {"kernel": W.T, "bias": t2n(m.bias)}
+
+
+def linear_flat_out(m, c, h, w):
+    """Linear producing a flattened [C,h,w] map (viewed NCHW) -> NHWC."""
+    W = t2n(m.weight)                      # [C*h*w, in]
+    b = t2n(m.bias)
+    W = W.reshape(c, h, w, -1).transpose(1, 2, 0, 3).reshape(-1, W.shape[1])
+    b = b.reshape(c, h, w).transpose(1, 2, 0).reshape(-1)
+    return {"kernel": W.T, "bias": b}
+
+
+def bn(m):
+    return ({"scale": t2n(m.weight), "bias": t2n(m.bias)},
+            {"mean": t2n(m.running_mean), "var": t2n(m.running_var)})
+
+
+def vanilla_vae(ref, latent_dim, hidden_dims, img_size):
+    """Reference VanillaVAE-style backbone (vanilla_vae.py:24-75) ->
+    (params, batch_stats) for StandardGaussianVAE subclasses."""
+    enc_p, enc_s = {}, {}
+    for i, block in enumerate(ref.encoder):
+        p, s = bn(block[1])
+        enc_p[f"ConvBNBlock_{i}"] = {"Conv_0": conv(block[0]),
+                                     "BatchNorm_0": p}
+        enc_s[f"ConvBNBlock_{i}"] = {"BatchNorm_0": s}
+
+    hw = img_size // (2 ** len(hidden_dims))
+    c = hidden_dims[-1]
+    head = {"fc_mu": linear_flat_in(ref.fc_mu, c, hw, hw),
+            "fc_var": linear_flat_in(ref.fc_var, c, hw, hw)}
+
+    dec_in = {"decoder_input": linear_flat_out(ref.decoder_input, c, hw, hw)}
+
+    dec_p, dec_s = {}, {}
+    blocks = list(ref.decoder) + [ref.final_layer]
+    for i, block in enumerate(blocks):
+        p, s = bn(block[1])
+        dec_p[f"DeconvBNBlock_{i}"] = {"ConvTranspose_0": convT(block[0]),
+                                       "BatchNorm_0": p}
+        dec_s[f"DeconvBNBlock_{i}"] = {"BatchNorm_0": s}
+    dec_p["Conv_0"] = conv(ref.final_layer[3])
+
+    params = {"encoder": enc_p, "head": head, "decoder_input": dec_in,
+              "decoder": dec_p}
+    batch_stats = {"encoder": enc_s, "decoder": dec_s}
+    return params, batch_stats
+
+
+def vq_encoder(mods):
+    """Ordered torch modules of the reference VQ/MCQ encoder
+    (mcq_vae.py:161-194): [Conv(s2)...] + Conv3x3 + 6 residual blocks +
+    Conv1x1 -> VQEncoder params."""
+    convs = [m for m in mods if type(m).__name__ == "Conv2d"]
+    res = [m for m in mods if type(m).__name__ == "ResidualLayer"]
+    p = {}
+    for i, m in enumerate(convs):
+        p[f"Conv_{i}"] = conv(m)
+    for i, r in enumerate(res):
+        p[f"ResidualLayer_{i}"] = {
+            "Conv_0": conv_nobias(r.resblock[0]),
+            "Conv_1": conv_nobias(r.resblock[2]),
+        }
+    return p
+
+
+def gatv2_conv(c):
+    """pyg_fixture.GATv2Conv -> DenseGATv2Layer params."""
+    return {
+        "lin_l": {"kernel": t2n(c.lin_l.weight).T,
+                  "bias": t2n(c.lin_l.bias)},
+        "lin_r": {"kernel": t2n(c.lin_r.weight).T,
+                  "bias": t2n(c.lin_r.bias)},
+        "lin_edge": t2n(c.lin_edge.weight).T,
+        "att": t2n(c.att)[0],
+        "bias": t2n(c.bias),
+    }
+
+
+def causal_transition(ref, N, A):
+    """Reference CausalTransition -> ctvae_tpu CausalTransition params
+    (discoverers factored into left/right first-layer halves, mask MLP,
+    a_dense, and every GATv2 layer of the graph_transitioner)."""
+    H = ref.latent_dims[0]
+    w1l = np.zeros((A + 1, N, H), np.float64)
+    w1r = np.zeros((A + 1, N, H), np.float64)
+    b1 = np.zeros((A + 1, H), np.float64)
+    w2 = np.zeros((A + 1, H, 1), np.float64)
+    b2 = np.zeros((A + 1, 1), np.float64)
+    for i, disc in enumerate(ref.graph_discovers):
+        lin1, lin2 = disc[0], disc[2]
+        W = t2n(lin1.weight)                     # [H, 2N]
+        w1l[i] = W[:, :N].T
+        w1r[i] = W[:, N:].T
+        b1[i] = t2n(lin1.bias)
+        w2[i] = t2n(lin2.weight).T
+        b2[i] = t2n(lin2.bias)
+    mask_lin = ref.mask[0]
+    params = {
+        "disc_w1l": w1l, "disc_w1r": w1r, "disc_b1": b1,
+        "disc_w2": w2, "disc_b2": b2,
+        "mask_kernel": t2n(mask_lin.weight).T,
+        "mask_bias": t2n(mask_lin.bias),
+        "a_dense": linear(ref.a_dense),
+    }
+    convs = [m for m in ref.graph_transitioner._mods
+             if type(m).__name__ == "GATv2Conv"]
+    params["graph_transitioner"] = {
+        f"DenseGATv2Layer_{i}": gatv2_conv(c) for i, c in enumerate(convs)}
+    return params
+
+
+def flatten_sequential(seq):
+    mods = []
+    for m in seq:
+        if type(m).__name__ == "Sequential":
+            mods += list(m)
+        else:
+            mods.append(m)
+    return mods
+
+
+def multi_codebook_vq(ref_vq):
+    """Reference MultipleCodebookVectorQuantizer -> params."""
+    return {f"quantizers_{i}": {"embedding": t2n(q.embedding.weight)}
+            for i, q in enumerate(ref_vq.quantizers)}
+
+
+def vq_decoder(mods):
+    convs = [m for m in mods if type(m).__name__ == "Conv2d"]
+    convTs = [m for m in mods if type(m).__name__ == "ConvTranspose2d"]
+    res = [m for m in mods if type(m).__name__ == "ResidualLayer"]
+    p = {}
+    for i, m in enumerate(convs):
+        p[f"Conv_{i}"] = conv(m)
+    for i, m in enumerate(convTs):
+        p[f"ConvTranspose_{i}"] = convT(m)
+    for i, r in enumerate(res):
+        p[f"ResidualLayer_{i}"] = {
+            "Conv_0": conv_nobias(r.resblock[0]),
+            "Conv_1": conv_nobias(r.resblock[2]),
+        }
+    return p
