@@ -31,22 +31,25 @@ import jax.numpy as jnp
 from ..ops.gat import GATv2Stack
 from ..ops.pairwise import pairwise_mlp_scores
 from .backbones import VQDecoder, VQEncoder
-from .base import Array, BaseVAE, ModelOutput, cross_entropy_from_probs, mse_loss
+from .base import (Array, BaseVAE, ModelOutput, cross_entropy_from_probs, mse_loss, upcast32)
 from .quantizers import MultipleCodebookVectorQuantizer
 
 CLAMP_EPS = 1e-4
 
 
-def sinusoidal_pe(max_len: int, d_model: int) -> jnp.ndarray:
+def sinusoidal_pe(max_len: int, d_model: int):
     """Standard sinusoidal positional encoding table [max_len, d_model]
-    (reference PositionalEncoding, ct_mcq_vae.py:14-38)."""
-    position = jnp.arange(max_len, dtype=jnp.float32)[:, None]
-    div_term = jnp.exp(jnp.arange(0, d_model, 2, dtype=jnp.float32)
-                       * (-math.log(10000.0) / d_model))
+    (reference PositionalEncoding, ct_mcq_vae.py:14-38). Computed on the
+    host in float64 so the table is exact at any model dtype (callers
+    cast; a float32 table would put a 1e-7 floor under float64 parity)."""
+    import numpy as np
+    position = np.arange(max_len, dtype=np.float64)[:, None]
+    div_term = np.exp(np.arange(0, d_model, 2, dtype=np.float64)
+                      * (-math.log(10000.0) / d_model))
     angles = position * div_term
-    pe = jnp.zeros((max_len, d_model))
-    pe = pe.at[:, 0::2].set(jnp.sin(angles))
-    pe = pe.at[:, 1::2].set(jnp.cos(angles[:, : (d_model // 2)]))
+    pe = np.zeros((max_len, d_model))
+    pe[:, 0::2] = np.sin(angles)
+    pe[:, 1::2] = np.cos(angles[:, : (d_model // 2)])
     return pe
 
 
@@ -90,7 +93,8 @@ class CausalTransition(nn.Module):
     def setup(self):
         N, A, H = self.input_dim, self.action_dim, self._ldims[0]
         self.a_dense = nn.Dense(N, dtype=self.dtype, name="a_dense")
-        self.pe_table = sinusoidal_pe(self.max_len, N)
+        self.pe_table = jnp.asarray(sinusoidal_pe(self.max_len, N),
+                                    self.dtype)
         self.pe_dropout = nn.Dropout(self.dropout_rate)
         # (A+1) pairwise discoverers, stacked; first layer factored into
         # left/right halves of the concat (see ops/pairwise.py).
@@ -338,8 +342,8 @@ class CausalTransition(nn.Module):
 
     @staticmethod
     def causal_accuracy(action_probas: Array, action: Array) -> Array:
-        return jnp.mean((jnp.argmax(action_probas, -1)
-                         == jnp.argmax(action, -1)).astype(jnp.float32))
+        return jnp.mean(upcast32((jnp.argmax(action_probas, -1)
+                         == jnp.argmax(action, -1))))
 
     @staticmethod
     def causal_undirected_accuracy(action_probas: Array, action: Array) -> Array:
@@ -383,6 +387,8 @@ class CTMCQVAE(BaseVAE):
     slicing: str = "chunk"
     pairwise_block_rows: Optional[int] = None
     gat_block_cols: int = 0
+    ct_dropout_rate: float = 0.1   # PE dropout (reference
+                                   # PositionalEncoding default, :19)
     dtype: jnp.dtype = jnp.float32
 
     @property
@@ -403,7 +409,7 @@ class CTMCQVAE(BaseVAE):
             input_dim=self.num_embeddings, action_dim=self.action_dim,
             latent_dims=self.causal_hidden_dims, noise=self.noise,
             c_alpha=self.c_alpha, c_beta=self.c_beta, c_delta=self.c_delta,
-            c_epsilon=self.c_epsilon,
+            c_epsilon=self.c_epsilon, dropout_rate=self.ct_dropout_rate,
             pairwise_block_rows=self.pairwise_block_rows,
             gat_block_cols=self.gat_block_cols, dtype=self.dtype)
         self.decoder = VQDecoder(hd, out_channels=self.in_channels,
@@ -551,6 +557,27 @@ class CTMCQVAE(BaseVAE):
         replaced = jnp.einsum("bhwd,bdD->bhwD", vals, onehots)
         z = base * keep[:, None, None, :] + replaced
         quantized, _ = self.vq_layer(z)
+        return self.decoder(quantized)
+
+    def navigate(self, x: Array, y: Array, steps: int,
+                 save_inds: bool = False, *, train: bool = False):
+        """Latent traversal from image ``x`` to image ``y``: encode both,
+        linearly interpolate ``steps`` intermediates in pre-quantization
+        latent space, quantize each waypoint, decode. Returns
+        [steps+2, H, W, C] (plus codebook indices when ``save_inds``).
+
+        A working version of the reference's commented-out ``navigate``
+        (ct_mcq_vae.py:688-713): its bilinear ``Upsample(size=(.., S),
+        align_corners=True)`` over the two endpoints is exactly linear
+        interpolation with t = j/(S-1), so we use a linspace directly.
+        """
+        enc = self.encoder(jnp.stack([x, y]))          # [2, h, w, c]
+        t = jnp.linspace(0.0, 1.0, steps + 2,
+                         dtype=enc.dtype)[:, None, None, None]
+        z = (1.0 - t) * enc[0] + t * enc[1]            # [S, h, w, c]
+        quantized, *rest = self.vq_layer(z, inds=save_inds)
+        if save_inds:
+            return self.decoder(quantized), rest[-1]
         return self.decoder(quantized)
 
     # --- loss (reference :594-620) --------------------------------------

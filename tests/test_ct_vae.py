@@ -206,6 +206,49 @@ def test_latent_walk():
     assert bool(jnp.all(jnp.isfinite(out)))
 
 
+def test_latent_navigate():
+    """navigate(): endpoints decode to the same images as a direct
+    encode->quantize->decode of x and y (linspace endpoints are exact),
+    shapes/indices come back right, and the path interpolates."""
+    import jax
+    import jax.numpy as jnp
+    from ctvae_tpu.models import vae_models
+    from ctvae_tpu.models.base import RNG_STREAMS
+
+    model = vae_models["CTMCQVAE"](
+        in_channels=3, embedding_dim=8, action_dim=4, num_embeddings=8,
+        hidden_dims=(8, 16), img_size=16, codebooks=2,
+        causal_hidden_dims=(16, 8))
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.uniform(size=(16, 16, 3)).astype(np.float32))
+    y = jnp.asarray(rng.uniform(size=(16, 16, 3)).astype(np.float32))
+    k = jax.random.PRNGKey(0)
+    rngs = {"params": k, **{s: jax.random.fold_in(k, i + 1)
+                            for i, s in enumerate(RNG_STREAMS)}}
+    variables = model.init(rngs, x[None], train=False)
+
+    steps = 3
+    frames, inds = model.apply(variables, x, y, steps, True,
+                               train=False, method=model.navigate)
+    assert frames.shape == (steps + 2, 16, 16, 3)
+    # MCQ indices: [S, C, h, w] with C=2 codebooks over a 4x4 grid
+    assert inds.shape == (steps + 2, 2, 4, 4)
+    assert bool(jnp.all(jnp.isfinite(frames)))
+
+    # endpoints == direct encode -> quantize -> decode of x and y (the
+    # navigate path bypasses the causal-transition layer, like the
+    # reference's commented navigate does)
+    def _direct(m, imgs):
+        q, _ = m.vq_layer(m.encoder(imgs))
+        return m.decoder(q)
+
+    direct = model.apply(variables, jnp.stack([x, y]), method=_direct)
+    np.testing.assert_allclose(np.asarray(frames[0]),
+                               np.asarray(direct[0]), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(frames[-1]),
+                               np.asarray(direct[1]), rtol=1e-5, atol=1e-6)
+
+
 @pytest.mark.parametrize("noise", ["off", "exo", "endo"])
 def test_identity_fast_path_matches_general(noise):
     """The closed-form identity pass (_compute_y_identity) must equal the
