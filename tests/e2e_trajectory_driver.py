@@ -1,0 +1,683 @@
+#!/usr/bin/env python
+"""Seeded end-to-end loss-trajectory parity driver.
+
+Trains the torch reference and ctvae_tpu SIDE BY SIDE in float64 with
+transplanted initial weights, identical data, identical batch order,
+identical optimizer hyperparameters (Adam + per-epoch ExponentialLR, the
+reference experiment.py:152-187 recipe), and identical injected
+randomness (reparameterization noise shared through a queue; Gumbel
+samplers replaced by the same deterministic threshold on both sides) for
+2 full epochs. Prints ONE JSON line with both per-step loss
+trajectories. A drift anywhere — optimizer semantics, annealing, BN
+statistics, loss composition, conv padding, quantizer ties — shows up as
+a per-step divergence far above float64 noise.
+
+Run (the pytest wrapper does this):
+    JAX_PLATFORMS=cpu python tests/e2e_trajectory_driver.py vanilla
+Models: vanilla (north-star configs/vae.yaml shape), vqvae, ct (all
+three batch modes interleaved, north-star configs/ct_mcq_vae.yaml
+shape at toy size).
+"""
+
+import json
+import os
+import sys
+
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+import optax  # noqa: E402
+import torch  # noqa: E402
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from _pyg_install import (install_torch_geometric,  # noqa: E402
+                          install_torchvision_stub)
+
+install_torchvision_stub()
+install_torch_geometric()
+sys.path.insert(0, "/root/reference")
+# repo root last: the reference's `models` package must win that name,
+# ctvae_tpu only exists at the repo root
+sys.path.append(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import torch_transplant as tt  # noqa: E402
+
+torch.set_default_dtype(torch.float64)
+
+EPOCHS = 2
+STEPS_PER_EPOCH = 5
+LR = 0.005
+SCHED_GAMMA = 0.9
+KLD_WEIGHT = 0.00025
+
+
+def _nchw(x):
+    return torch.from_numpy(np.moveaxis(x, -1, 1).copy())
+
+
+def _build_tx(params):
+    """The repo's own optimizer factory — the code path run.py uses."""
+    from ctvae_tpu.training.optimizers import build_optimizers
+    return build_optimizers({"LR": LR, "scheduler_gamma": SCHED_GAMMA},
+                            params, steps_per_epoch=STEPS_PER_EPOCH)[0]
+
+
+class Queue:
+    def __init__(self, arrays):
+        self.items = list(arrays)
+        self.i = 0
+
+    def pop(self, shape=None):
+        v = self.items[self.i]
+        self.i += 1
+        if shape is not None:
+            assert tuple(v.shape) == tuple(shape), (v.shape, shape)
+        return v
+
+
+# ---------------------------------------------------------------------------
+# VanillaVAE
+# ---------------------------------------------------------------------------
+
+def run_vanilla():
+    import importlib
+    ref_mod = importlib.import_module("models.vanilla_vae")
+    from ctvae_tpu.models import vae_models
+
+    B, IMG, LATENT = 4, 64, 10
+    HDIMS = [32, 64, 128, 256, 512]
+    n_steps = EPOCHS * STEPS_PER_EPOCH
+    rng = np.random.default_rng(0)
+    batches = [rng.uniform(size=(B, IMG, IMG, 3)) for _ in range(n_steps)]
+    eps = [rng.standard_normal((B, LATENT)) for _ in range(n_steps)]
+
+    torch.manual_seed(0)
+    ref = ref_mod.VanillaVAE(3, LATENT).double()
+    params, batch_stats = tt.vanilla_vae(ref, LATENT, HDIMS, IMG)
+
+    # ---- torch side ----
+    opt = torch.optim.Adam(ref.parameters(), lr=LR)
+    sched = torch.optim.lr_scheduler.ExponentialLR(opt, gamma=SCHED_GAMMA)
+    tq = Queue([torch.from_numpy(e) for e in eps])
+    orig_randn_like = torch.randn_like
+    torch.randn_like = lambda t, **kw: tq.pop(t.shape)
+    t_losses = []
+    try:
+        ref.train()
+        step = 0
+        for _ in range(EPOCHS):
+            for _ in range(STEPS_PER_EPOCH):
+                x = _nchw(batches[step])
+                out = ref.forward(x)
+                losses = ref.loss_function(*out, M_N=KLD_WEIGHT)
+                opt.zero_grad()
+                losses["loss"].backward()
+                opt.step()
+                t_losses.append(float(losses["loss"]))
+                step += 1
+            sched.step()
+    finally:
+        torch.randn_like = orig_randn_like
+
+    # ---- jax side ----
+    import ctvae_tpu.models.gaussian_base as gb
+    model = vae_models["VanillaVAE"](in_channels=3, latent_dim=LATENT,
+                                     img_size=IMG, dtype=jnp.float64)
+    jq = Queue([jnp.asarray(e) for e in eps])
+    orig_reparam = gb.reparameterize
+    gb.reparameterize = lambda r, mu, lv: mu + jnp.exp(0.5 * lv) * jq.pop(mu.shape)
+
+    params = jax.tree_util.tree_map(jnp.asarray, params)
+    batch_stats = jax.tree_util.tree_map(jnp.asarray, batch_stats)
+    tx = _build_tx(params)
+    opt_state = tx.init(params)
+    rngs = {s: jax.random.PRNGKey(i) for i, s in
+            enumerate(("reparam", "gumbel", "noise", "dropout"))}
+    j_losses = []
+    try:
+        for step in range(n_steps):
+            x = jnp.asarray(batches[step])
+
+            def loss_fn(p, bs):
+                out, mut = model.apply(
+                    {"params": p, "batch_stats": bs}, x, train=True,
+                    rngs=rngs, mutable=["batch_stats"])
+                losses = model.loss_function(out, M_N=KLD_WEIGHT)
+                return losses["loss"], mut["batch_stats"]
+
+            (loss, batch_stats), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(params, batch_stats)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            j_losses.append(float(loss))
+    finally:
+        gb.reparameterize = orig_reparam
+    return t_losses, j_losses
+
+
+# ---------------------------------------------------------------------------
+# VQVAE
+# ---------------------------------------------------------------------------
+
+def run_vqvae():
+    import importlib
+    ref_mod = importlib.import_module("models.vq_vae")
+    from ctvae_tpu.models import vae_models
+
+    B, IMG, D, K = 4, 16, 8, 8
+    HDIMS = [16, 32]
+    n_steps = EPOCHS * STEPS_PER_EPOCH
+    rng = np.random.default_rng(1)
+    batches = [rng.uniform(size=(B, IMG, IMG, 3)) for _ in range(n_steps)]
+
+    torch.manual_seed(1)
+    ref = ref_mod.VQVAE(in_channels=3, embedding_dim=D, num_embeddings=K,
+                        hidden_dims=list(HDIMS), img_size=IMG).double()
+    enc_p = tt.vq_encoder(tt.flatten_sequential(ref.encoder))
+    dec_p = tt.vq_decoder(tt.flatten_sequential(ref.decoder))
+    params = {"encoder": enc_p, "decoder": dec_p,
+              "vq_layer": {"embedding":
+                           tt.t2n(ref.vq_layer.embedding.weight)}}
+
+    opt = torch.optim.Adam(ref.parameters(), lr=LR)
+    sched = torch.optim.lr_scheduler.ExponentialLR(opt, gamma=SCHED_GAMMA)
+    t_losses = []
+    ref.train()
+    step = 0
+    for _ in range(EPOCHS):
+        for _ in range(STEPS_PER_EPOCH):
+            x = _nchw(batches[step])
+            out = ref.forward(x)
+            losses = ref.loss_function(*out, M_N=KLD_WEIGHT)
+            opt.zero_grad()
+            losses["loss"].backward()
+            opt.step()
+            t_losses.append(float(losses["loss"]))
+            step += 1
+        sched.step()
+
+    model = vae_models["VQVAE"](in_channels=3, embedding_dim=D,
+                                num_embeddings=K, hidden_dims=HDIMS,
+                                img_size=IMG, dtype=jnp.float64)
+    params = jax.tree_util.tree_map(jnp.asarray, params)
+    tx = _build_tx(params)
+    opt_state = tx.init(params)
+    rngs = {s: jax.random.PRNGKey(i) for i, s in
+            enumerate(("reparam", "gumbel", "noise", "dropout"))}
+    j_losses = []
+    for step in range(n_steps):
+        x = jnp.asarray(batches[step])
+
+        def loss_fn(p):
+            out = model.apply({"params": p}, x, train=True, rngs=rngs)
+            return model.loss_function(out, M_N=KLD_WEIGHT)["loss"]
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        j_losses.append(float(loss))
+    return t_losses, j_losses
+
+
+# ---------------------------------------------------------------------------
+# FactorVAE — the dual-optimizer adversarial protocol
+# ---------------------------------------------------------------------------
+
+def run_fvae():
+    """Pins the two-phase parameter updates over a full trajectory.
+
+    Reference protocol (PL automatic optimization + retain_first_backpass,
+    /root/reference/experiment.py:37,44-59 + models/fvae.py:150-201):
+    per batch, TWO forwards; phase 0 (Adam over ALL params incl. the
+    discriminator) trains the VAE loss and stashes ``D_z_reserve``;
+    phase 1 (Adam over the discriminator) backprops the false-class term
+    through the RETAINED phase-0 graph — i.e. at pre-update params and
+    phase-0's z — plus the true-class term on fresh z.
+
+    ctvae_tpu's functional restructure evaluates the false-class term at
+    CURRENT params on the phase-1 z (fvae.py module docstring). The
+    driver therefore runs THREE trainings: torch-exact (reference
+    protocol), torch-CONTROL implementing the functional semantics in
+    torch, and jax. jax must track the control within fp tolerance; the
+    exact-vs-control gap IS the documented protocol deviation, measured.
+    """
+    import importlib
+    ref_mod = importlib.import_module("models.fvae")
+    import ctvae_tpu.models.fvae as jfvae
+    import ctvae_tpu.models.gaussian_base as gb
+    from ctvae_tpu.models import vae_models
+    from ctvae_tpu.training.optimizers import build_optimizers
+
+    B, IMG, LATENT, GAMMA = 4, 64, 10, 6.4
+    LR2 = 0.004
+    HDIMS = [32, 64, 128, 256, 512]
+    n_steps = EPOCHS * STEPS_PER_EPOCH
+    rng = np.random.default_rng(3)
+    batches = [rng.uniform(size=(B, IMG, IMG, 3)) for _ in range(n_steps)]
+    eps = [rng.standard_normal((B, LATENT)) for _ in range(2 * n_steps)]
+    perms = [np.stack([rng.permutation(LATENT) for _ in range(B)])
+             for _ in range(n_steps)]
+
+    torch.manual_seed(3)
+    ref = ref_mod.FactorVAE(3, LATENT, gamma=GAMMA).double()
+    params, batch_stats = tt.vanilla_vae(ref, LATENT, HDIMS, IMG)
+    disc_p, disc_s = {}, {}
+    lin_idx = bn_idx = 0
+    for m in ref.discriminator:
+        tname = type(m).__name__
+        if tname == "Linear":
+            disc_p[f"Dense_{lin_idx}"] = tt.linear(m)
+            lin_idx += 1
+        elif tname == "BatchNorm1d":
+            p, s = tt.bn(m)
+            disc_p[f"BatchNorm_{bn_idx}"] = p
+            disc_s[f"BatchNorm_{bn_idx}"] = s
+            bn_idx += 1
+    params["discriminator"] = disc_p
+    batch_stats["discriminator"] = disc_s
+
+    def make_perm_fn(queue):
+        def perm_fn(z):
+            Bz, Dz = z.size()
+            p = torch.from_numpy(queue.pop((Bz, Dz)))
+            return torch.gather(z, 1, p)
+        return perm_fn
+
+    def torch_run(model_ref, exact):
+        opt0 = torch.optim.Adam(model_ref.parameters(), lr=LR)
+        sched = torch.optim.lr_scheduler.ExponentialLR(
+            opt0, gamma=SCHED_GAMMA)
+        opt1 = torch.optim.Adam(model_ref.discriminator.parameters(),
+                                lr=LR2)
+        eq = Queue([torch.from_numpy(e) for e in eps])
+        pq = Queue(list(perms))
+        orig_randn_like = torch.randn_like
+        torch.randn_like = lambda t, **kw: eq.pop(t.shape)
+        model_ref.permute_latent = make_perm_fn(pq)
+        losses_out = []
+        model_ref.train()
+        try:
+            step = 0
+            for _ in range(EPOCHS):
+                for _ in range(STEPS_PER_EPOCH):
+                    x = _nchw(batches[step])
+                    F = torch.nn.functional
+                    disc_params = list(
+                        model_ref.discriminator.parameters())
+                    out0 = model_ref.forward(x)
+                    l0 = model_ref.loss_function(*out0, M_N=KLD_WEIGHT,
+                                                 optimizer_idx=0)
+                    if exact:
+                        # the reference backprops the false-class term
+                        # through the RETAINED phase-0 graph — i.e. the
+                        # gradient at PRE-update params on phase-0's z.
+                        # (torch 2.x's version counter rejects the
+                        # literal stale-graph backward the cu102-era
+                        # stack allowed; computing the same gradient
+                        # before opt0.step() is mathematically the
+                        # identical protocol.)
+                        Bz = x.size(0)
+                        false_loss = 0.5 * F.cross_entropy(
+                            model_ref.D_z_reserve if hasattr(
+                                model_ref, "D_z_reserve") else None,
+                            torch.zeros(Bz, dtype=torch.long))
+                        g_false = torch.autograd.grad(
+                            false_loss, disc_params, retain_graph=True,
+                            allow_unused=True)
+                    opt0.zero_grad()
+                    l0["loss"].backward()
+                    opt0.step()
+                    out1 = model_ref.forward(x)
+                    z1 = out1[4].detach()
+                    Bz = z1.size(0)
+                    D_perm = model_ref.discriminator(
+                        model_ref.permute_latent(z1))
+                    true_loss = 0.5 * F.cross_entropy(
+                        D_perm, torch.ones(Bz, dtype=torch.long))
+                    if exact:
+                        opt1.zero_grad()
+                        true_loss.backward()
+                        with torch.no_grad():
+                            for p, gf in zip(disc_params, g_false):
+                                if gf is not None:
+                                    p.grad = (gf if p.grad is None
+                                              else p.grad + gf)
+                        l1_val = float(false_loss) + float(true_loss)
+                    else:
+                        # functional semantics: false term at CURRENT
+                        # params on this phase's z
+                        D_z = model_ref.discriminator(z1)
+                        false_loss2 = 0.5 * F.cross_entropy(
+                            D_z, torch.zeros(Bz, dtype=torch.long))
+                        opt1.zero_grad()
+                        (false_loss2 + true_loss).backward()
+                        l1_val = float(false_loss2) + float(true_loss)
+                    opt1.step()
+                    losses_out.append((float(l0["loss"]), l1_val))
+                    step += 1
+                sched.step()
+        finally:
+            torch.randn_like = orig_randn_like
+        return losses_out
+
+    t_exact = torch_run(ref, exact=True)
+    torch.manual_seed(3)
+    ref2 = ref_mod.FactorVAE(3, LATENT, gamma=GAMMA).double()
+    t_control = torch_run(ref2, exact=False)
+
+    # ---- jax side (production protocol) ----
+    model = vae_models["FactorVAE"](in_channels=3, latent_dim=LATENT,
+                                    gamma=GAMMA, img_size=IMG,
+                                    dtype=jnp.float64)
+    jeq = Queue([jnp.asarray(e) for e in eps])
+    orig_reparam = gb.reparameterize
+    orig_perm = jfvae.permute_latent
+
+    # jax forward calls permute_latent in BOTH phases; only the phase-1
+    # value reaches a loss (phase-0's D_z_perm output is unused), so the
+    # step's perm is simply reused for both calls.
+    perm_state = {"calls": 0}
+
+    def jax_perm(r, z):
+        idx = perm_state["calls"] // 2
+        perm_state["calls"] += 1
+        return jnp.take_along_axis(z, jnp.asarray(perms[idx]), axis=1)
+
+    jfvae.permute_latent = jax_perm
+    gb.reparameterize = lambda r, mu, lv: mu + jnp.exp(0.5 * lv) * jeq.pop(mu.shape)
+    jfvae.reparameterize = gb.reparameterize
+
+    params = jax.tree_util.tree_map(jnp.asarray, params)
+    batch_stats = jax.tree_util.tree_map(jnp.asarray, batch_stats)
+    txs = build_optimizers({"LR": LR, "scheduler_gamma": SCHED_GAMMA,
+                            "LR_2": LR2, "submodel": "discriminator"},
+                           params, steps_per_epoch=STEPS_PER_EPOCH)
+    opt_states = [tx.init(params) for tx in txs]
+    rngs = {s: jax.random.PRNGKey(i) for i, s in
+            enumerate(("reparam", "gumbel", "noise", "dropout"))}
+    j_losses = []
+    try:
+        for step in range(n_steps):
+            x = jnp.asarray(batches[step])
+            pair = []
+            for oi in (0, 1):
+                def loss_fn(p, bs):
+                    out, mut = model.apply(
+                        {"params": p, "batch_stats": bs}, x, train=True,
+                        rngs=rngs, mutable=["batch_stats"])
+                    l = model.loss_function(out, M_N=KLD_WEIGHT,
+                                            optimizer_idx=oi)
+                    return l["loss"], mut["batch_stats"]
+
+                (loss, batch_stats), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True)(params, batch_stats)
+                updates, opt_states[oi] = txs[oi].update(
+                    grads, opt_states[oi], params)
+                params = optax.apply_updates(params, updates)
+                pair.append(float(loss))
+            j_losses.append(tuple(pair))
+    finally:
+        gb.reparameterize = orig_reparam
+        jfvae.reparameterize = orig_reparam
+        jfvae.permute_latent = orig_perm
+
+    def flat(pairs):
+        return [v for pair in pairs for v in pair]
+
+    return flat(t_exact), flat(j_losses), flat(t_control)
+
+
+# ---------------------------------------------------------------------------
+# CTMCQVAE — all three modes interleaved
+# ---------------------------------------------------------------------------
+
+def run_ct():
+    import importlib
+    ref_mod = importlib.import_module("models.ct_mcq_vae")
+    import ctvae_tpu.models.ct_vae as ct_mod
+    from ctvae_tpu.models import vae_models
+
+    B, IMG, D, K, A, C = 4, 16, 8, 8, 4, 2
+    HDIMS = [16, 32]
+    CHDIMS = [16, 8]
+    GAMMA = 1.5
+    n_steps = EPOCHS * STEPS_PER_EPOCH
+    S = (IMG // 4) ** 2 * C                      # K*h*w causal variables
+
+    rng = np.random.default_rng(2)
+    batches, batches_y, actions, modes = [], [], [], []
+    for i in range(n_steps):
+        batches.append(rng.uniform(size=(B, IMG, IMG, 3)))
+        batches_y.append(rng.uniform(size=(B, IMG, IMG, 3)))
+        actions.append(np.eye(A)[rng.integers(0, A, B)].astype(np.float64))
+        modes.append(("base", "action", "causal")[i % 3])
+    # adjacency-KL random targets: one [B, S*S] draw per forward_action
+    # call (A calls per causal step on the torch side; our vectorized
+    # side consumes the same values as one [A*B, S*S] draw)
+    kl_targets = [rng.uniform(size=(A, B, S * S)) for _ in range(n_steps)]
+
+    torch.manual_seed(2)
+    ref = ref_mod.CTMCQVAE(in_channels=3, embedding_dim=D, action_dim=A,
+                           num_embeddings=K, hidden_dims=list(HDIMS),
+                           causal_hidden_dims=list(CHDIMS), gamma=GAMMA,
+                           img_size=IMG, codebooks=C).double()
+    ref.ct_layer.pos_encoding.dropout.p = 0.0
+
+    params = {
+        "encoder": tt.vq_encoder(tt.flatten_sequential(ref.encoder)),
+        "decoder": tt.vq_decoder(tt.flatten_sequential(ref.decoder)),
+        "vq_layer": tt.multi_codebook_vq(ref.vq_layer),
+        "ct_layer": tt.causal_transition(ref.ct_layer, K, A),
+    }
+
+    # deterministic "sampling" on both sides
+    orig_gumbel = torch.nn.functional.gumbel_softmax
+    torch.nn.functional.gumbel_softmax = \
+        lambda logits, tau=1.0, hard=True, **kw: torch.nn.functional.one_hot(
+            logits.argmax(dim=-1), logits.size(-1)).to(logits.dtype)
+    orig_st = ct_mod.st_bernoulli_gumbel
+    ct_mod.st_bernoulli_gumbel = \
+        lambda r, probs, tau=1.0: (probs > 0.5).astype(probs.dtype)
+
+    # shared adjacency-KL targets
+    t_kl = {"step": 0, "call": 0}
+    orig_rand = torch.rand
+
+    def fake_rand(*shape, **kw):
+        if shape and isinstance(shape[0], (tuple, torch.Size)):
+            shape = tuple(shape[0])
+        tgt = kl_targets[t_kl["step"]]
+        v = tgt.reshape(-1, tgt.shape[-1])[
+            t_kl["call"] * shape[0]:(t_kl["call"] + 1) * shape[0]]
+        t_kl["call"] += 1
+        assert v.shape == tuple(shape), (v.shape, shape)
+        return torch.from_numpy(v.copy())
+
+    torch.rand = fake_rand
+
+    # the reference hard-codes .to(dtype=torch.float32) in two places
+    # (ct_mcq_vae.py:118 action repeat, :480 one-hot preprocess) — keep
+    # the float64 run pure by promoting those requests
+    orig_to = torch.Tensor.to
+
+    def fake_to(self, *args, **kwargs):
+        args = tuple(torch.float64 if a is torch.float32 else a
+                     for a in args)
+        if kwargs.get("dtype") is torch.float32:
+            kwargs = {**kwargs, "dtype": torch.float64}
+        return orig_to(self, *args, **kwargs)
+
+    torch.Tensor.to = fake_to
+
+    class OptaxOrderAdam:
+        """Adam with optax's exact elementwise op order, in torch.
+        Mathematically identical to torch.optim.Adam; rounds differently
+        (optax: m = (1-b1)*g + b1*m then m_hat/(sqrt(v_hat)+eps); torch
+        fuses differently). Used as the CONTROL run: it bounds how much
+        of the torch-vs-jax trajectory gap is pure optimizer rounding
+        amplified by the CT model's sharp nonlinearities."""
+
+        def __init__(self, params, b1=0.9, b2=0.999, eps=1e-8):
+            self.params = [p for p in params if p.requires_grad]
+            self.m = [torch.zeros_like(p) for p in self.params]
+            self.v = [torch.zeros_like(p) for p in self.params]
+            self.b1, self.b2, self.eps = b1, b2, eps
+            self.t = 0
+
+        @torch.no_grad()
+        def step(self, lr):
+            self.t += 1
+            bc1 = 1 - self.b1 ** self.t
+            bc2 = 1 - self.b2 ** self.t
+            for i, p in enumerate(self.params):
+                g = p.grad
+                if g is None:
+                    continue
+                self.m[i] = (1 - self.b1) * g + self.b1 * self.m[i]
+                self.v[i] = (1 - self.b2) * (g * g) + self.b2 * self.v[i]
+                m_hat = self.m[i] / bc1
+                v_hat = self.v[i] / bc2
+                p -= lr * (m_hat / (torch.sqrt(v_hat) + self.eps))
+
+        def zero_grad(self):
+            for p in self.params:
+                p.grad = None
+
+    def torch_run(model_ref, optax_order=False):
+        """One full torch training run; ``optax_order=True`` swaps
+        torch.optim.Adam for the optax-op-order control optimizer."""
+        if optax_order:
+            opt = OptaxOrderAdam(model_ref.parameters())
+        else:
+            opt = torch.optim.Adam(model_ref.parameters(), lr=LR)
+            sched = torch.optim.lr_scheduler.ExponentialLR(
+                opt, gamma=SCHED_GAMMA)
+        losses_out = []
+        model_ref.train()
+        step = 0
+        for epoch in range(EPOCHS):
+            for _ in range(STEPS_PER_EPOCH):
+                t_kl["step"], t_kl["call"] = step, 0
+                mode = modes[step]
+                out = model_ref.forward(
+                    _nchw(batches[step]), input_y=_nchw(batches_y[step]),
+                    action=torch.from_numpy(actions[step]), mode=mode)
+                losses = model_ref.loss_function(*out, M_N=KLD_WEIGHT)
+                opt.zero_grad()
+                losses["loss"].backward()
+                if optax_order:
+                    opt.step(LR * SCHED_GAMMA ** epoch)
+                else:
+                    opt.step()
+                losses_out.append(float(losses["loss"]))
+                step += 1
+            if not optax_order:
+                sched.step()
+        return losses_out
+
+    try:
+        t_losses = torch_run(ref)
+        # control: same torch model/data, optax-op-order Adam — any
+        # divergence here is optimizer ROUNDING amplified by the model,
+        # the exact effect separating the jax run from torch.optim.Adam
+        torch.manual_seed(2)
+        ref2 = ref_mod.CTMCQVAE(
+            in_channels=3, embedding_dim=D, action_dim=A,
+            num_embeddings=K, hidden_dims=list(HDIMS),
+            causal_hidden_dims=list(CHDIMS), gamma=GAMMA,
+            img_size=IMG, codebooks=C).double()
+        ref2.ct_layer.pos_encoding.dropout.p = 0.0
+        c_losses = torch_run(ref2, optax_order=True)
+    finally:
+        torch.nn.functional.gumbel_softmax = orig_gumbel
+        torch.rand = orig_rand
+        torch.Tensor.to = orig_to
+
+    # ---- jax side ----
+    model = vae_models["CTMCQVAE"](
+        in_channels=3, embedding_dim=D, action_dim=A, num_embeddings=K,
+        hidden_dims=HDIMS, causal_hidden_dims=CHDIMS, gamma=GAMMA,
+        img_size=IMG, codebooks=C, slicing="overlap", ct_dropout_rate=0.0,
+        dtype=jnp.float64)
+
+    j_kl = {"step": 0}
+    orig_uniform = jax.random.uniform
+
+    def fake_uniform(key, shape=(), *a, **kw):
+        # only intercept the adjacency-KL target draw ([*, S*S]); other
+        # uniform calls (flax's abstract shape-validation of param init
+        # fns) pass through untouched
+        if len(shape) == 2 and shape[-1] == S * S:
+            tgt = kl_targets[j_kl["step"]]
+            flat = tgt.reshape(-1, tgt.shape[-1])[:shape[0]]
+            assert flat.shape == tuple(shape), (flat.shape, shape)
+            return jnp.asarray(flat)
+        return orig_uniform(key, shape, *a, **kw)
+
+    jax.random.uniform = fake_uniform
+
+    params = jax.tree_util.tree_map(jnp.asarray, params)
+    tx = _build_tx(params)
+    opt_state = tx.init(params)
+    rngs = {s: jax.random.PRNGKey(i) for i, s in
+            enumerate(("reparam", "gumbel", "noise", "dropout"))}
+    j_losses = []
+    try:
+        for step in range(n_steps):
+            j_kl["step"] = step
+            mode = modes[step]
+            x = jnp.asarray(batches[step])
+            y = jnp.asarray(batches_y[step])
+            act = jnp.asarray(actions[step])
+
+            def loss_fn(p):
+                out = model.apply({"params": p}, x, input_y=y, action=act,
+                                  mode=mode, train=True, rngs=rngs)
+                return model.loss_function(out)["loss"]
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            j_losses.append(float(loss))
+    finally:
+        jax.random.uniform = orig_uniform
+    return t_losses, j_losses, c_losses
+
+
+RUNNERS = {"vanilla": run_vanilla, "vqvae": run_vqvae, "ct": run_ct,
+           "fvae": run_fvae}
+
+
+def main():
+    which = sys.argv[1] if len(sys.argv) > 1 else "vanilla"
+    out = RUNNERS[which]()
+    t_losses, j_losses = out[0], out[1]
+    rel = [abs(a - b) / max(abs(a), 1e-12)
+           for a, b in zip(t_losses, j_losses)]
+    payload = {
+        "model": which, "steps": len(t_losses),
+        "torch_losses": t_losses, "jax_losses": j_losses,
+        "rel_diffs": rel, "max_rel_diff": max(rel),
+        "torch_first": t_losses[0], "torch_last": t_losses[-1],
+    }
+    if len(out) > 2:  # optimizer-rounding control (CT only)
+        c = out[2]
+        payload["control_losses"] = c
+        payload["control_rel_diffs"] = [
+            abs(a - b) / max(abs(a), 1e-12)
+            for a, b in zip(t_losses, c)]
+        payload["control_max_rel"] = max(payload["control_rel_diffs"])
+        # jax vs the optax-op-order torch control: SAME update math and
+        # op order -> must stay tight; only XLA-vs-torch kernel rounding
+        # separates them
+        payload["jax_vs_control_rel"] = [
+            abs(a - b) / max(abs(a), 1e-12)
+            for a, b in zip(c, j_losses)]
+    print(json.dumps(payload))
+
+
+if __name__ == "__main__":
+    main()

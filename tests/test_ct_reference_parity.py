@@ -257,6 +257,146 @@ def test_forward_action_full_parity(ref_ct_module, monkeypatch):
                                rtol=1e-4, atol=1e-6)
 
 
+@pytest.mark.parametrize("mode", ["base", "action", "causal"])
+def test_full_model_loss_and_grad_parity(ref_ct_module, monkeypatch, mode):
+    """Full CTMCQVAE — encoder, MCQ quantizer (reference overlap
+    slicing), causal transition with its real GNN, decoder — loss AND
+    parameter gradients vs the reference at a transplanted state, per
+    mode. Float64, deterministic samplers, pinned KL targets."""
+    import jax
+    import jax.numpy as jnp
+
+    import ctvae_tpu.models.ct_vae as ct_mod
+    import torch_transplant as tt
+    from ctvae_tpu.models import vae_models
+
+    jax.config.update("jax_enable_x64", True)
+    prev_dtype = torch.get_default_dtype()
+    # the reference allocates helper tensors with the default dtype
+    # mid-forward (e.g. _merge_inter's zeros, ct_mcq_vae.py:137)
+    torch.set_default_dtype(torch.float64)
+    try:
+        _full_model_parity(ref_ct_module, monkeypatch, mode, jax, jnp,
+                           ct_mod, tt, vae_models)
+    finally:
+        torch.set_default_dtype(prev_dtype)
+        jax.config.update("jax_enable_x64", False)
+
+
+def _full_model_parity(ref_ct_module, monkeypatch, mode, jax, jnp,
+                       ct_mod, tt, vae_models):
+    B, IMG, D, K, A, C = 4, 16, 8, 8, 4, 2
+    HDIMS, CHDIMS, GAMMA = [16, 32], [16, 8], 1.5
+    S = (IMG // 4) ** 2 * C
+    rng = np.random.default_rng(11)
+    x_np = rng.uniform(size=(B, IMG, IMG, 3))
+    y_np = rng.uniform(size=(B, IMG, IMG, 3))
+    act_np = np.eye(A)[rng.integers(0, A, B)].astype(np.float64)
+    klt = rng.uniform(size=(A * B, S * S))
+
+    torch.manual_seed(11)
+    ref = ref_ct_module.CTMCQVAE(
+        in_channels=3, embedding_dim=D, action_dim=A,
+        num_embeddings=K, hidden_dims=list(HDIMS),
+        causal_hidden_dims=list(CHDIMS), gamma=GAMMA, img_size=IMG,
+        codebooks=C).double()
+    ref.ct_layer.pos_encoding.dropout.p = 0.0
+    params = {
+        "encoder": tt.vq_encoder(tt.flatten_sequential(ref.encoder)),
+        "decoder": tt.vq_decoder(tt.flatten_sequential(ref.decoder)),
+        "vq_layer": tt.multi_codebook_vq(ref.vq_layer),
+        "ct_layer": tt.causal_transition(ref.ct_layer, K, A),
+    }
+
+    monkeypatch.setattr(
+        torch.nn.functional, "gumbel_softmax",
+        lambda logits, tau=1.0, hard=True, **kw: torch.nn.functional.one_hot(
+            logits.argmax(dim=-1), logits.size(-1)).to(logits.dtype))
+    monkeypatch.setattr(
+        ct_mod, "st_bernoulli_gumbel",
+        lambda r, probs, tau=1.0: (probs > 0.5).astype(probs.dtype))
+    monkeypatch.setattr(
+        torch, "rand",
+        lambda *sh, **kw: torch.from_numpy(
+            klt[:(sh[0][0] if isinstance(sh[0], (tuple, torch.Size))
+                 else sh[0])].copy()))
+    orig_to = torch.Tensor.to
+
+    def fake_to(self, *args, **kwargs):
+        args = tuple(torch.float64 if a is torch.float32 else a
+                     for a in args)
+        if kwargs.get("dtype") is torch.float32:
+            kwargs = {**kwargs, "dtype": torch.float64}
+        return orig_to(self, *args, **kwargs)
+
+    monkeypatch.setattr(torch.Tensor, "to", fake_to)
+
+    def nchw(a):
+        return torch.from_numpy(np.moveaxis(a, -1, 1).copy())
+
+    ref.train()
+    out = ref.forward(nchw(x_np), input_y=nchw(y_np),
+                      action=torch.from_numpy(act_np), mode=mode)
+    r_losses = ref.loss_function(*out, M_N=0.00025)
+    r_losses["loss"].backward()
+    t_norms = {}
+    for name, p in ref.named_parameters():
+        if p.grad is not None:
+            t_norms[name] = float((p.grad.detach() ** 2).sum())
+
+    model = vae_models["CTMCQVAE"](
+        in_channels=3, embedding_dim=D, action_dim=A, num_embeddings=K,
+        hidden_dims=HDIMS, causal_hidden_dims=CHDIMS, gamma=GAMMA,
+        img_size=IMG, codebooks=C, slicing="overlap", ct_dropout_rate=0.0,
+        dtype=jnp.float64)
+    orig_uniform = jax.random.uniform
+
+    def fake_uniform(key, shape=(), *a, **kw):
+        if len(shape) == 2 and shape[-1] == S * S:
+            return jnp.asarray(klt[:shape[0]])
+        return orig_uniform(key, shape, *a, **kw)
+
+    monkeypatch.setattr(jax.random, "uniform", fake_uniform)
+    jp = jax.tree_util.tree_map(lambda a: jnp.asarray(a, jnp.float64),
+                                params)
+    rngs = {s: jax.random.PRNGKey(i) for i, s in
+            enumerate(("reparam", "gumbel", "noise", "dropout"))}
+
+    def loss_fn(p):
+        o = model.apply({"params": p}, jnp.asarray(x_np),
+                        input_y=jnp.asarray(y_np),
+                        action=jnp.asarray(act_np), mode=mode,
+                        train=True, rngs=rngs)
+        return model.loss_function(o)["loss"]
+
+    loss_j, grads = jax.value_and_grad(loss_fn)(jp)
+    np.testing.assert_allclose(float(loss_j), float(r_losses["loss"]),
+                               rtol=1e-10)
+
+    def tot(tree):
+        return sum(float(jnp.sum(jnp.square(g)))
+                   for g in jax.tree_util.tree_leaves(tree))
+
+    groups = {
+        "encoder": grads["encoder"], "decoder": grads["decoder"],
+        "vq_layer": grads["vq_layer"],
+        "ct_layer.graph_discovers": {
+            k: v for k, v in grads["ct_layer"].items()
+            if k.startswith("disc")},
+        "ct_layer.mask": {k: v for k, v in grads["ct_layer"].items()
+                          if k.startswith("mask")},
+        "ct_layer.a_dense": grads["ct_layer"]["a_dense"],
+        "ct_layer.graph_transitioner":
+            grads["ct_layer"]["graph_transitioner"],
+    }
+    for prefix, sub in groups.items():
+        t_val = sum(v for k, v in t_norms.items() if k.startswith(prefix))
+        j_val = tot(sub)
+        np.testing.assert_allclose(
+            j_val, t_val, rtol=1e-8, atol=1e-24,
+            err_msg=f"grad-norm mismatch in {prefix} (mode={mode})")
+
+
 def test_regularizer_parity(ref_ct_module):
     """graph_size and positive_trial are deterministic — exact match.
     (adjacency_KL uses internal random targets on both sides; excluded.)"""

