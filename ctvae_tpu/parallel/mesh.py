@@ -42,9 +42,30 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch: Dict[str, jax.Array], mesh: Mesh) -> Dict[str, jax.Array]:
-    """Device-put a host batch with the leading dim sharded over ``data``."""
+    """Device-put a host batch with the leading dim sharded over ``data``.
+
+    Multi-host: each process passes its LOCAL slice of the global batch
+    (the datamodule host-shards, datamodule.py:140-147) and the global
+    array is assembled across processes — the SPMD equivalent of the
+    reference's DistributedSampler feeding per-rank DDP replicas
+    (/root/reference/datasets/transition.py:175-178)."""
     sh = batch_sharding(mesh)
+    if jax.process_count() > 1:
+        return {k: jax.make_array_from_process_local_data(sh, np.asarray(v))
+                for k, v in batch.items()}
     return {k: jax.device_put(v, sh) for k, v in batch.items()}
+
+
+def put_replicated(tree, mesh: Mesh):
+    """Replicate a host pytree over every device of the (possibly
+    multi-process) mesh. Each process must hold an identical copy (same
+    seed init or same restored checkpoint)."""
+    sh = replicated(mesh)
+    if jax.process_count() > 1:
+        return jax.tree_util.tree_map(
+            lambda a: jax.make_array_from_process_local_data(
+                sh, np.asarray(a)), tree)
+    return jax.device_put(tree, sh)
 
 
 # ---------------------------------------------------------------------------

@@ -32,7 +32,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..models.base import BaseVAE, RNG_STREAMS
-from ..parallel.mesh import make_mesh, replicated
+from ..parallel.mesh import make_mesh, put_replicated, replicated
 from .optimizers import build_lr_schedules, build_optimizers
 from .state import TrainState, create_train_state, make_eval_step, make_train_step
 
@@ -95,7 +95,7 @@ class VAEXperiment:
         self.lr_schedules = build_lr_schedules(self.params, steps_per_epoch)
         opt_states = tuple(tx.init(state.params) for tx in self.txs)
         self.state = state.replace(opt_states=opt_states)
-        self.state = jax.device_put(self.state, replicated(self.mesh))
+        self.state = put_replicated(self.state, self.mesh)
         return self.state
 
     def restore_full_state(self, which: str = "last") -> None:
@@ -109,7 +109,7 @@ class VAEXperiment:
         assert self.state is not None and self.ckpt is not None
         restored = self.ckpt.restore(jax.device_get(self.state),
                                      which=which)
-        self.state = jax.device_put(restored, replicated(self.mesh))
+        self.state = put_replicated(restored, self.mesh)
         self.global_step = int(self.state.step)
         spe = max(1, self.data.steps_per_epoch() if self.data else 1)
         self.start_epoch = self.global_step // spe
@@ -122,7 +122,7 @@ class VAEXperiment:
             self.state.params))
         new_params = jax.tree_util.tree_map(jnp.asarray, new_params)
         self.state = self.state.replace(params=new_params)
-        self.state = jax.device_put(self.state, replicated(self.mesh))
+        self.state = put_replicated(self.state, self.mesh)
 
     # -- step caches -----------------------------------------------------
 

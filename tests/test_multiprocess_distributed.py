@@ -1,0 +1,87 @@
+"""True multi-process distributed training: 2 processes x 4 virtual CPU
+devices joined via jax.distributed.initialize + gloo collectives,
+running the REAL CTMCQVAE train step over host-sharded global batches.
+
+Upgrades the single-process 8-device dryrun (VERDICT round 1, item 8):
+this exercises jax.process_index() input sharding
+(datamodule.py:140-147), make_array_from_process_local_data batch
+assembly (parallel/mesh.py::shard_batch), cross-process replication
+(put_replicated), and cross-process gradient collectives. The analogue
+in the reference is its DDP multi-GPU path
+(/root/reference/run.py:99-100 + DistributedSampler over batch
+meta-indices)."""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+@pytest.mark.slow
+def test_two_process_training_matches_single_process(tmp_path):
+    port = _free_port()
+    outs = [str(tmp_path / f"w{i}.json") for i in range(2)]
+    env = dict(os.environ,
+               JAX_COMPILATION_CACHE_DIR="/tmp/ctvae_jax_cache",
+               JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS="2")
+    env.pop("XLA_FLAGS", None)  # workers set their own device count
+    env["JAX_PLATFORMS"] = "cpu"
+    procs = [subprocess.Popen(
+        [sys.executable, os.path.join(REPO, "tests",
+                                      "distributed_worker.py"),
+         str(i), "2", str(port), outs[i]],
+        cwd=os.path.join(REPO, "tests"), env=env,
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True)
+        for i in range(2)]
+    results = []
+    for p in procs:
+        try:
+            stdout, stderr = p.communicate(timeout=560)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        results.append((p.returncode, stdout, stderr))
+    for rc, stdout, stderr in results:
+        assert rc == 0, stdout[-500:] + stderr[-2500:]
+
+    workers = []
+    for path in outs:
+        with open(path) as f:
+            workers.append(json.load(f))
+    for w in workers:
+        assert w["devices"] == 8
+
+    # both processes computed the SAME replicated per-step losses, and
+    # the mode schedule is globally uniform
+    r0, r1 = workers[0]["records"], workers[1]["records"]
+    assert [m for m, _ in r0] == [m for m, _ in r1]
+    assert len({m for m, _ in r0} & {"base", "action", "causal"}) >= 2
+    np.testing.assert_allclose([l for _, l in r0], [l for _, l in r1],
+                               rtol=1e-6)
+
+    # single-process 8-device run over the same seeded global schedule:
+    # local batch 8 == 2 hosts x 4 (identical global batches)
+    sys.path.insert(0, os.path.join(REPO, "tests"))
+    try:
+        from tests_common_distributed import run_training
+        single = run_training(local_batch_size=8)
+    finally:
+        sys.path.remove(os.path.join(REPO, "tests"))
+    assert [m for m, _ in single] == [m for m, _ in r0]
+    np.testing.assert_allclose([l for _, l in single], [l for _, l in r0],
+                               rtol=1e-5)
