@@ -37,7 +37,7 @@ def _run_driver(model):
     r = subprocess.run(
         [sys.executable, os.path.join(REPO, "tests",
                                       "e2e_trajectory_driver.py"), model],
-        capture_output=True, text=True, cwd=REPO, env=env, timeout=560)
+        capture_output=True, text=True, cwd=REPO, env=env, timeout=1200)
     assert r.returncode == 0, r.stdout[-500:] + r.stderr[-2000:]
     return json.loads(r.stdout.strip().splitlines()[-1])
 
