@@ -45,6 +45,15 @@ def main():
     parser.add_argument("--run-id", default="test0")
     parser.add_argument("--steps", type=int, default=5,
                         help="iterative action applications")
+    parser.add_argument("--walk", metavar="WALKS,STEPS,DIMS", default=None,
+                        help="also render random latent-space walks: hold "
+                             "a base latent, re-randomize DIMS channels "
+                             "per step (CTMCQVAE.walk)")
+    parser.add_argument("--navigate", type=int, default=None,
+                        metavar="STEPS",
+                        help="also render a latent interpolation with "
+                             "STEPS intermediates from a test image to "
+                             "its transition target (CTMCQVAE.navigate)")
     args = parser.parse_args()
 
     with open(args.config) as f:
@@ -125,6 +134,34 @@ def main():
                                         f"{a_name}_{sign}{step}.png"),
                            normalize=True)
     print(f"action rollout images -> {out_dir}")
+
+    # -- latent traversals (reference ct_mcq_vae.py:643-713) -------------
+    if args.walk:
+        n_walks, n_steps, n_dims = (int(v) for v in args.walk.split(","))
+        frames = model.apply(variables, n_steps, n_dims, n_walks,
+                             train=False, rngs=apply_rngs,
+                             method=model.walk)
+        for w in range(n_walks):
+            for s in range(n_steps):
+                save_image(
+                    np.asarray(frames[w * n_steps + s])[None],
+                    os.path.join(out_dir,
+                                 f"CT-VAE_walk{w}_step{s}.png"),
+                    normalize=True)
+        print(f"latent walk images -> {out_dir}")
+
+    if args.navigate is not None:
+        x0 = jnp.asarray(batch["image"][0])
+        y0 = jnp.asarray(batch["input_y"][0])
+        frames = model.apply(variables, x0, y0, args.navigate,
+                             train=False, rngs=apply_rngs,
+                             method=model.navigate)
+        for s in range(frames.shape[0]):
+            save_image(np.asarray(frames[s])[None],
+                       os.path.join(out_dir,
+                                    f"CT-VAE_navigate_{s}.png"),
+                       normalize=True)
+        print(f"navigate images ({frames.shape[0]} frames) -> {out_dir}")
 
     # -- causal accuracy sweep (notebook cell 9) -------------------------
     accs, nodirs = [], []

@@ -119,3 +119,33 @@ def test_hyp_search_end_to_end_inprocess(tmp_path, monkeypatch, capsys):
     for t in results["trials"]:
         assert t["params"]["model_params.latent_dim"] in (4, 8)
         assert 0.0005 <= t["params"]["exp_params.LR"] <= 0.002
+
+
+def test_hyp_search_parallel_trials(tmp_path, monkeypatch, capsys):
+    """The Ray-actor replacement: ``parallel_trials: 2`` runs each trial
+    in its own spawned process (own JAX runtime). Results must carry
+    both trials and pick the same best-by-loss."""
+    tmp = str(tmp_path)
+    logdir = os.path.join(tmp, "logs")
+    cfg = _hyp_config(tmp, logdir)
+    cfg["hyperparameter_search"]["parallel_trials"] = 2
+    path = os.path.join(tmp, "hyp.yaml")
+    with open(path, "w") as f:
+        yaml.dump(cfg, f)
+
+    # spawned trial processes must be hermetic on CPU like the parent
+    monkeypatch.setenv("JAX_PLATFORMS", "cpu")
+    monkeypatch.setenv("JAX_COMPILATION_CACHE_DIR", "/tmp/ctvae_jax_cache")
+    monkeypatch.setenv("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
+    monkeypatch.setattr(sys, "argv", ["hyperparameter_search.py",
+                                      "-c", path])
+    hs.main()
+    out = capsys.readouterr().out
+    assert "=== best ===" in out
+
+    with open(os.path.join(logdir, "VanillaVAE", "hyp_search",
+                           "results.json")) as f:
+        results = json.load(f)
+    assert len(results["trials"]) == 2
+    losses = [t["loss"] for t in results["trials"]]
+    assert results["best"]["loss"] == min(losses)

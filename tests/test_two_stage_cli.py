@@ -78,12 +78,17 @@ def test_two_stage_recipe_and_apply_action(tmp_path, monkeypatch, capsys):
     imgdir = os.path.join(tmp, "images")
     out = _main_inprocess(monkeypatch, capsys, "apply_action",
                           ["-c", cfg2, "--ckpt", ckpt2, "--out", imgdir,
-                           "--steps", "1"])
+                           "--steps", "1", "--walk", "2,2,1",
+                           "--navigate", "1"])
     assert "causal_acc mean" in out or "rollout images" in out
-    rollouts = []
+    rollouts, walks, navs = [], [], []
     for root, _, files in os.walk(imgdir):
         rollouts += [f for f in files if f.endswith(".png")]
+        walks += [f for f in files if f.startswith("CT-VAE_walk")]
+        navs += [f for f in files if f.startswith("CT-VAE_navigate")]
     assert len(rollouts) >= 1 + 2 * (MODEL["action_dim"] // 2)
+    assert len(walks) == 4            # 2 walks x 2 steps
+    assert len(navs) == 3             # x, 1 intermediate, y
 
 
 @pytest.mark.slow
