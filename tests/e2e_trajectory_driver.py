@@ -647,8 +647,97 @@ def run_ct():
     return t_losses, j_losses, c_losses
 
 
+# ---------------------------------------------------------------------------
+# BetaVAE loss_type='B' — capacity annealing driven by the step counter
+# ---------------------------------------------------------------------------
+
+def run_betab():
+    """The reference's class-level ``num_iter`` counter
+    (/root/reference/models/beta_vae.py:10,132,147) vs ctvae_tpu's
+    explicit ``step`` input: the annealed capacity C must advance
+    identically, or the |kld - C| loss drifts from step 1."""
+    import importlib
+    ref_mod = importlib.import_module("models.beta_vae")
+    from ctvae_tpu.models import vae_models
+
+    B, IMG, LATENT = 4, 64, 10
+    HDIMS = [32, 64, 128, 256, 512]
+    n_steps = EPOCHS * STEPS_PER_EPOCH
+    rng = np.random.default_rng(4)
+    batches = [rng.uniform(size=(B, IMG, IMG, 3)) for _ in range(n_steps)]
+    eps = [rng.standard_normal((B, LATENT)) for _ in range(n_steps)]
+
+    torch.manual_seed(4)
+    ref_mod.BetaVAE.num_iter = 0   # class-level counter: hard reset
+    # C_stop_iter small enough that C actually moves within 10 steps
+    ref = ref_mod.BetaVAE(3, LATENT, loss_type="B", gamma=10.0,
+                          max_capacity=25, Capacity_max_iter=20).double()
+    params, batch_stats = tt.vanilla_vae(ref, LATENT, HDIMS, IMG)
+
+    # ---- torch side ----
+    opt = torch.optim.Adam(ref.parameters(), lr=LR)
+    sched = torch.optim.lr_scheduler.ExponentialLR(opt, gamma=SCHED_GAMMA)
+    tq = Queue([torch.from_numpy(e) for e in eps])
+    orig_randn_like = torch.randn_like
+    torch.randn_like = lambda t, **kw: tq.pop(t.shape)
+    t_losses = []
+    try:
+        ref.train()
+        step = 0
+        for _ in range(EPOCHS):
+            for _ in range(STEPS_PER_EPOCH):
+                x = _nchw(batches[step])
+                out = ref.forward(x)
+                losses = ref.loss_function(*out, M_N=KLD_WEIGHT)
+                opt.zero_grad()
+                losses["loss"].backward()
+                opt.step()
+                t_losses.append(float(losses["loss"]))
+                step += 1
+            sched.step()
+    finally:
+        torch.randn_like = orig_randn_like
+
+    # ---- jax side ----
+    import ctvae_tpu.models.gaussian_base as gb
+    model = vae_models["BetaVAE"](in_channels=3, latent_dim=LATENT,
+                                  img_size=IMG, loss_type="B", gamma=10.0,
+                                  max_capacity=25.0, Capacity_max_iter=20,
+                                  dtype=jnp.float64)
+    jq = Queue([jnp.asarray(e) for e in eps])
+    orig_reparam = gb.reparameterize
+    gb.reparameterize = lambda r, mu, lv: mu + jnp.exp(0.5 * lv) * jq.pop(mu.shape)
+
+    params = jax.tree_util.tree_map(jnp.asarray, params)
+    batch_stats = jax.tree_util.tree_map(jnp.asarray, batch_stats)
+    tx = _build_tx(params)
+    opt_state = tx.init(params)
+    rngs = {s: jax.random.PRNGKey(i) for i, s in
+            enumerate(("reparam", "gumbel", "noise", "dropout"))}
+    j_losses = []
+    try:
+        for step in range(n_steps):
+            x = jnp.asarray(batches[step])
+
+            def loss_fn(p, bs):
+                out, mut = model.apply(
+                    {"params": p, "batch_stats": bs}, x, train=True,
+                    rngs=rngs, mutable=["batch_stats"])
+                losses = model.loss_function(out, M_N=KLD_WEIGHT, step=step)
+                return losses["loss"], mut["batch_stats"]
+
+            (loss, batch_stats), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(params, batch_stats)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            j_losses.append(float(loss))
+    finally:
+        gb.reparameterize = orig_reparam
+    return t_losses, j_losses
+
+
 RUNNERS = {"vanilla": run_vanilla, "vqvae": run_vqvae, "ct": run_ct,
-           "fvae": run_fvae}
+           "fvae": run_fvae, "betab": run_betab}
 
 
 def main():

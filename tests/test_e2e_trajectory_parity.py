@@ -59,6 +59,19 @@ def test_vqvae_trajectory_parity():
 
 
 @pytest.mark.slow
+def test_betab_capacity_annealing_trajectory_parity():
+    """BetaVAE loss_type='B': the reference drives capacity C from a
+    class-level ``num_iter`` counter incremented inside loss_function
+    (/root/reference/models/beta_vae.py:10,132,147); ctvae_tpu passes an
+    explicit ``step``. The annealed C must advance identically or the
+    gamma*|kld - C| loss diverges from step 1."""
+    d = _run_driver("betab")
+    assert d["steps"] == 10
+    assert d["rel_diffs"][0] < 1e-12, d["rel_diffs"]  # transplanted state exact
+    assert d["max_rel_diff"] < 1e-5, d["rel_diffs"]
+
+
+@pytest.mark.slow
 def test_fvae_two_phase_update_parity():
     """FactorVAE dual-optimizer protocol over a full trajectory
     (VERDICT round-1 weak #7). The driver trains three times: the
