@@ -8,6 +8,10 @@ Deviation, by design: the reference's expected-covariance term
 (:152) collapses E[Sigma] to a *scalar* (the mean of an arbitrary
 [B,D]-matrix diagonal). We implement the paper-correct DIP-VAE-II term —
 ``cov_z = cov_mu + diag(E_b[exp(log_var)])`` — added on the diagonal.
+``variance_term="reference"`` reproduces the reference exactly (the
+scalar ``mean(diag(exp(2*log_var)))`` added to EVERY entry of cov_mu)
+for drop-in numerical compatibility, same spirit as MCQ's
+``slicing="overlap"`` quirk flag.
 """
 
 from __future__ import annotations
@@ -23,6 +27,7 @@ from .gaussian_base import StandardGaussianVAE
 class DIPVAE(StandardGaussianVAE):
     lambda_diag: float = 10.0
     lambda_offdiag: float = 5.0
+    variance_term: str = "paper"  # "paper" | "reference" (quirk-exact)
 
     def loss_function(self, outputs: ModelOutput, *, M_N: float = 1.0,
                       **kwargs) -> Dict[str, Array]:
@@ -36,8 +41,18 @@ class DIPVAE(StandardGaussianVAE):
 
         centered = mu - jnp.mean(mu, axis=1, keepdims=True)
         cov_mu = centered.T @ centered                              # [D, D]
-        expected_var = jnp.mean(jnp.exp(log_var), axis=0)            # [D]
-        cov_z = cov_mu + jnp.diag(expected_var)
+        if self.variance_term == "reference":
+            # reference dip_vae.py:152 — diagonal of the [B, D] matrix
+            # exp(2*log_var) (length min(B, D)), mean-collapsed to a
+            # scalar and broadcast onto every entry of cov_mu
+            b, d = log_var.shape
+            diag_len = min(b, d)
+            scalar = jnp.mean(jnp.exp(2.0 * log_var)[
+                jnp.arange(diag_len), jnp.arange(diag_len)])
+            cov_z = cov_mu + scalar
+        else:
+            expected_var = jnp.mean(jnp.exp(log_var), axis=0)        # [D]
+            cov_z = cov_mu + jnp.diag(expected_var)
 
         cov_diag = jnp.diag(cov_z)
         cov_offdiag = cov_z - jnp.diag(cov_diag)

@@ -9,6 +9,10 @@ C1=(0.01)^2, C2=(0.03)^2, avg-pool 2x2 between scales, final
 Deviation, by design: the reference's window builder drops the minus sign
 in the Gaussian exponent (``exp(+(x-c)^2/2s^2)``, mssim_vae.py:204),
 producing an inverted (edge-heavy) window; we use the actual Gaussian.
+``window_mode="reference"`` reproduces the reference window exactly
+(positive exponent, computed in float64 then cast to float32 like the
+reference's ``.float()`` at mssim_vae.py:210) for drop-in numerical
+compatibility.
 """
 
 from __future__ import annotations
@@ -30,16 +34,23 @@ _MSSSIM_WEIGHTS = (0.0448, 0.2856, 0.3001, 0.2363, 0.1333)
 
 
 @functools.lru_cache(maxsize=None)
-def _window_np(window_size: int, sigma: float) -> np.ndarray:
+def _window_np(window_size: int, sigma: float,
+               window_mode: str = "gaussian") -> np.ndarray:
     x = np.arange(window_size) - window_size // 2
-    k1d = np.exp(-(x ** 2) / (2.0 * sigma ** 2))
+    sign = 1.0 if window_mode == "reference" else -1.0
+    k1d = np.exp(sign * (x ** 2) / (2.0 * sigma ** 2))
     k1d /= k1d.sum()
     return np.outer(k1d, k1d).astype(np.float32)
 
 
 def _depthwise_filter(x: Array, window: Array) -> Array:
-    """Depthwise 2-D conv, NHWC, SAME padding."""
+    """Depthwise 2-D conv, NHWC, SAME padding.
+
+    The window is built in float32 (like the reference's ``.float()``
+    cast, mssim_vae.py:210) and widened to the input dtype here, so
+    float64 parity runs see the same float32-rounded taps as torch."""
     c = x.shape[-1]
+    window = window.astype(x.dtype)
     kernel = jnp.tile(window[:, :, None, None], (1, 1, 1, c))  # [H,W,1,C]
     return jax.lax.conv_general_dilated(
         x, kernel, window_strides=(1, 1), padding="SAME",
@@ -68,7 +79,8 @@ def _avg_pool2(x: Array) -> Array:
 
 
 def mssim_loss(img1: Array, img2: Array, window_size: int = 11,
-               sigma: float = 1.5, normalize: bool = True) -> Array:
+               sigma: float = 1.5, normalize: bool = True,
+               window_mode: str = "gaussian") -> Array:
     """Returns ``1 - MS-SSIM(img1, img2)``; inputs NHWC float.
 
     ``normalize`` maps ssim/cs into [0, 1] via ``(x+1)/2`` before the
@@ -77,7 +89,7 @@ def mssim_loss(img1: Array, img2: Array, window_size: int = 11,
     training NaN the loss (pow of a negative base). Default on."""
     img1 = upcast32(img1)
     img2 = upcast32(img2)
-    window = jnp.asarray(_window_np(window_size, sigma))
+    window = jnp.asarray(_window_np(window_size, sigma, window_mode))
     weights = jnp.asarray(_MSSSIM_WEIGHTS)
     mssim, mcs = [], []
     for _ in range(len(_MSSSIM_WEIGHTS)):

@@ -736,8 +736,322 @@ def run_betab():
     return t_losses, j_losses
 
 
+# ---------------------------------------------------------------------------
+# Generic standard-backbone zoo runner — one spec per model
+# ---------------------------------------------------------------------------
+
+def _patch_reparam(*modules):
+    """Replace ``reparameterize`` in the given ctvae_tpu model modules
+    with a queue pop (models import it into their own namespace)."""
+    def apply(queues):
+        import importlib
+        q = queues["eps"]
+        def fake(r, mu, lv):
+            return mu + jnp.exp(0.5 * lv) * q.pop(mu.shape)
+        saved = []
+        for name in modules:
+            mod = importlib.import_module(name)
+            saved.append((mod, mod.reparameterize))
+            mod.reparameterize = fake
+        return lambda: [setattr(m, "reparameterize", o) for m, o in saved]
+    return apply
+
+
+def _patch_gumbel(*modules):
+    """Replace ``gumbel_softmax_sample`` with the same formula fed by the
+    shared uniform queue (reference cat_vae.py:124-129 draws
+    ``torch.rand_like``)."""
+    def apply(queues):
+        import importlib
+        q = queues["u"]
+        def fake(rng, logits, tau, eps=1e-7):
+            u = q.pop(logits.shape)
+            g = -jnp.log(-jnp.log(u + eps) + eps)
+            return jax.nn.softmax((logits + g) / tau, axis=-1)
+        saved = []
+        for name in modules:
+            mod = importlib.import_module(name)
+            saved.append((mod, mod.gumbel_softmax_sample))
+            mod.gumbel_softmax_sample = fake
+        return lambda: [setattr(m, "gumbel_softmax_sample", o)
+                        for m, o in saved]
+    return apply
+
+
+def _mssim_float64_window(ref_mod):
+    """Two minimal precision/stability patches on the reference MSSIM:
+
+    1. The reference window is cast to float32 (mssim_vae.py:210), which
+       torch cannot convolve with float64 images. Widen the
+       float32-ROUNDED taps back to float64 — ops/ssim.py widens its own
+       float32 window to the input dtype the same way, so both
+       frameworks convolve with bitwise-identical taps.
+    2. Enable the reference's own commented-out normalize stabilization
+       (mssim_vae.py:271-274, "(x+1)/2 to avoid NaNs during training
+       unstable models"): without it BOTH frameworks NaN at step 0 on
+       randomly-initialized reconstructions (negative ssim/cs raised to
+       fractional powers). ctvae_tpu ships normalize=True as the default
+       for exactly this reason, so the trajectory test certifies the
+       shipped semantics. The per-scale ssim/cs math is untouched (the
+       wrapper below calls the reference's own ``ssim``)."""
+    import torch.nn.functional as F
+    M = ref_mod.MSSIM
+    orig = M.create_window
+    M.create_window = lambda self, ws, ch: orig(self, ws, ch).double()
+
+    def forward_normalized(self, img1, img2):
+        # reference MSSIM.forward (mssim_vae.py:250-280) with the
+        # normalize branch enabled; everything else verbatim semantics
+        weights = torch.tensor(
+            [0.0448, 0.2856, 0.3001, 0.2363, 0.1333],
+            dtype=img1.dtype, device=img1.device)
+        mssim, mcs = [], []
+        for _ in range(weights.shape[0]):
+            sim, cs = self.ssim(img1, img2, self.window_size,
+                                self.in_channels, self.size_average)
+            mssim.append(sim)
+            mcs.append(cs)
+            img1 = F.avg_pool2d(img1, (2, 2))
+            img2 = F.avg_pool2d(img2, (2, 2))
+        mssim = (torch.stack(mssim) + 1) / 2
+        mcs = (torch.stack(mcs) + 1) / 2
+        pow1 = mcs ** weights
+        pow2 = mssim ** weights
+        return 1 - torch.prod(pow1[:-1] * pow2[-1])
+
+    M.forward = forward_normalized
+
+
+STD_SPECS = {
+    # name: reference ctor module/class/kwargs, ours registry kwargs,
+    # per-step noise draws in the reference's torch call order
+    # ("eps" = reparameterization, "prior_z" = MMD/SWD prior sample,
+    # "proj" = SWAE random projections, "u" = Gumbel uniform), optional
+    # torch-side patch / extra shapes / fwd & loss kwargs hooks.
+    "betah": dict(ref_module="beta_vae", ref_cls="BetaVAE",
+                  ref_kw=dict(loss_type="H", beta=4.0),
+                  ours="BetaVAE", ours_kw=dict(loss_type="H", beta=4.0),
+                  draws=("eps",), seed=11),
+    "iwae": dict(ref_module="iwae", ref_cls="IWAE",
+                 ref_kw=dict(num_samples=5),
+                 ours="IWAE", ours_kw=dict(num_samples=5),
+                 draws=("eps",), shapes=lambda B, D: {"eps": (B, 5, D)},
+                 jax_noise=(_patch_reparam("ctvae_tpu.models.iwae"),),
+                 seed=19),
+    "miwae": dict(ref_module="miwae", ref_cls="MIWAE",
+                  ref_kw=dict(num_samples=4, num_estimates=3),
+                  ours="MIWAE", ours_kw=dict(num_samples=4,
+                                             num_estimates=3),
+                  draws=("eps",),
+                  shapes=lambda B, D: {"eps": (B, 3, 4, D)},
+                  jax_noise=(_patch_reparam("ctvae_tpu.models.miwae"),),
+                  seed=20),
+    "cat": dict(ref_module="cat_vae", ref_cls="CategoricalVAE",
+                ref_kw=dict(categorical_dim=8, temperature=0.5, alpha=30.0),
+                ours="CategoricalVAE",
+                ours_kw=dict(categorical_dim=8, temperature=0.5, alpha=30.0),
+                transplant="deterministic",
+                draws=("u",), uniform=("u",),
+                shapes=lambda B, D: {"u": (B, D, 8)},
+                jax_noise=(_patch_gumbel("ctvae_tpu.models.cat_vae"),),
+                fwd_kw=lambda step: {"step": step},
+                torch_loss_kw=lambda step: {"batch_idx": step},
+                seed=21),
+    "joint": dict(ref_module="joint_vae", ref_cls="JointVAE",
+                  ref_kw=dict(categorical_dim=8, latent_num_iter=20,
+                              categorical_num_iter=20),
+                  ours="JointVAE",
+                  ours_kw=dict(categorical_dim=8, latent_num_iter=20,
+                               categorical_num_iter=20),
+                  transplant="joint",
+                  draws=("eps", "u"), uniform=("u",),
+                  shapes=lambda B, D: {"u": (B, 8)},
+                  jax_noise=(
+                      _patch_reparam("ctvae_tpu.models.joint_vae"),
+                      _patch_gumbel("ctvae_tpu.models.joint_vae"),),
+                  torch_loss_kw=lambda step: {"batch_idx": step},
+                  torch_patch=lambda ref_mod: setattr(
+                      ref_mod.JointVAE, "num_iter", 1),
+                  seed=22),
+    "dip": dict(ref_module="dip_vae", ref_cls="DIPVAE", ref_kw={},
+                # the reference-exact scalar E[Sigma] quirk (dip_vae.py:152)
+                ours="DIPVAE", ours_kw=dict(variance_term="reference"),
+                draws=("eps",), seed=12, lr=1e-4),
+    "logcosh": dict(ref_module="logcosh_vae", ref_cls="LogCoshVAE",
+                    ref_kw=dict(alpha=10.0, beta=1.0),
+                    ours="LogCoshVAE", ours_kw=dict(alpha=10.0, beta=1.0),
+                    draws=("eps",), seed=13),
+    "mssim": dict(ref_module="mssim_vae", ref_cls="MSSIMVAE", ref_kw={},
+                  # reference-exact inverted window; normalize=True is the
+                  # shipped default (see _mssim_float64_window on why)
+                  ours="MSSIMVAE",
+                  ours_kw=dict(window_mode="reference", normalize=True),
+                  # LR 1e-3: the multi-scale pow chain amplifies rounding
+                  # ~10x/step at LR 5e-3 (step 0 matches at 1e-16)
+                  draws=("eps",), seed=14, lr=1e-3,
+                  torch_patch=_mssim_float64_window),
+    "wae_imq": dict(ref_module="wae_mmd", ref_cls="WAE_MMD",
+                    ref_kw=dict(kernel_type="imq", reg_weight=100,
+                                latent_var=2.0),
+                    ours="WAE_MMD",
+                    ours_kw=dict(kernel_type="imq", reg_weight=100.0,
+                                 latent_var=2.0),
+                    deterministic=True, draws=("prior_z",), seed=15),
+    "wae_rbf": dict(ref_module="wae_mmd", ref_cls="WAE_MMD",
+                    ref_kw=dict(kernel_type="rbf", reg_weight=100,
+                                latent_var=2.0),
+                    ours="WAE_MMD",
+                    ours_kw=dict(kernel_type="rbf", reg_weight=100.0,
+                                 latent_var=2.0),
+                    deterministic=True, draws=("prior_z",), seed=16),
+    # LR 1e-4: the sort-based SWD has a permutation (non-smooth) gradient;
+    # at LR 5e-3 float-level noise flips sort orders within a few steps
+    # and amplifies chaotically (step 0 still matches at 1e-15)
+    "swae": dict(ref_module="swae", ref_cls="SWAE",
+                 ref_kw=dict(reg_weight=100, wasserstein_deg=2.0,
+                             num_projections=50, projection_dist="normal"),
+                 ours="SWAE",
+                 ours_kw=dict(reg_weight=100.0, wasserstein_deg=2.0,
+                              num_projections=50, projection_dist="normal"),
+                 deterministic=True, draws=("prior_z", "proj"), seed=17,
+                 lr=1e-4),
+    "info": dict(ref_module="info_vae", ref_cls="InfoVAE",
+                 ref_kw=dict(alpha=-0.5, beta=5.0, reg_weight=110,
+                             kernel_type="imq", latent_var=2.0),
+                 ours="InfoVAE",
+                 ours_kw=dict(alpha=-0.5, beta=5.0, reg_weight=110.0,
+                              kernel_type="imq", latent_var=2.0),
+                 draws=("eps", "prior_z"), seed=18),
+}
+
+
+def run_standard(key):
+    """One trajectory run for a standard-backbone zoo model: transplant,
+    shared data/noise, the reference optimizer recipe, per-step losses."""
+    import importlib
+    spec = STD_SPECS[key]
+    ref_mod = importlib.import_module(f"models.{spec['ref_module']}")
+    from ctvae_tpu.models import vae_models
+
+    B, IMG, LATENT, NPROJ = 4, 64, 10, 50
+    HDIMS = [32, 64, 128, 256, 512]
+    lr = spec.get("lr", LR)
+    n_steps = EPOCHS * STEPS_PER_EPOCH
+    shapes = {"eps": (B, LATENT), "prior_z": (B, LATENT),
+              "proj": (NPROJ, LATENT)}
+    if "shapes" in spec:
+        shapes.update(spec["shapes"](B, LATENT))
+    uniform = set(spec.get("uniform", ()))
+    rng = np.random.default_rng(spec["seed"])
+    batches = [rng.uniform(size=(B, IMG, IMG, 3)) for _ in range(n_steps)]
+    noise = [{name: (rng.uniform(size=shapes[name]) if name in uniform
+                     else rng.standard_normal(shapes[name]))
+              for name in spec["draws"]} for _ in range(n_steps)]
+
+    torch.manual_seed(spec["seed"])
+    ref = getattr(ref_mod, spec["ref_cls"])(3, LATENT,
+                                            **spec["ref_kw"]).double()
+    if "torch_patch" in spec:
+        spec["torch_patch"](ref_mod)
+    transplants = {"vanilla": tt.vanilla_vae,
+                   "deterministic": tt.deterministic_vae,
+                   "joint": tt.joint_vae}
+    tname = spec.get("transplant",
+                     "deterministic" if spec.get("deterministic")
+                     else "vanilla")
+    params, batch_stats = transplants[tname](ref, LATENT, HDIMS, IMG)
+
+    # ---- torch side: every rand-family draw pops the shared queue in
+    # call order (reparam/Gumbel in forward; prior_z/proj inside the loss)
+    opt = torch.optim.Adam(ref.parameters(), lr=lr)
+    sched = torch.optim.lr_scheduler.ExponentialLR(opt, gamma=SCHED_GAMMA)
+    flat = [v for st in noise for v in st.values()]
+    tq = Queue([torch.from_numpy(v) for v in flat])
+    orig = (torch.randn_like, torch.randn, torch.rand_like)
+    torch.randn_like = lambda t, **kw: tq.pop(t.shape)
+    torch.randn = lambda *shape, **kw: tq.pop(shape)
+    torch.rand_like = lambda t, **kw: tq.pop(t.shape)
+    t_losses = []
+    try:
+        ref.train()
+        step = 0
+        for _ in range(EPOCHS):
+            for _ in range(STEPS_PER_EPOCH):
+                x = _nchw(batches[step])
+                out = ref.forward(x)
+                t_loss_kw = (spec["torch_loss_kw"](step)
+                             if "torch_loss_kw" in spec else {})
+                losses = ref.loss_function(*out, M_N=KLD_WEIGHT,
+                                           **t_loss_kw)
+                opt.zero_grad()
+                losses["loss"].backward()
+                opt.step()
+                t_losses.append(float(losses["loss"]))
+                step += 1
+            sched.step()
+    finally:
+        torch.randn_like, torch.randn, torch.rand_like = orig
+
+    # ---- jax side: eps/Gumbel via module patches; prior_z/proj via the
+    # loss functions' explicit injection kwargs
+    import ctvae_tpu.models.gaussian_base as gb
+    from ctvae_tpu.training.optimizers import build_optimizers
+    model = vae_models[spec["ours"]](in_channels=3, latent_dim=LATENT,
+                                     img_size=IMG, dtype=jnp.float64,
+                                     **spec["ours_kw"])
+    queues = {name: Queue([jnp.asarray(st[name]) for st in noise])
+              for name in spec["draws"]}
+    restores = []
+    if "eps" in spec["draws"]:
+        eps_q = queues["eps"]
+        orig_reparam = gb.reparameterize
+        gb.reparameterize = (lambda r, mu, lv:
+                             mu + jnp.exp(0.5 * lv) * eps_q.pop(mu.shape))
+        restores.append(lambda: setattr(gb, "reparameterize", orig_reparam))
+    for patcher in spec.get("jax_noise", ()):
+        restores.append(patcher(queues))
+
+    params = jax.tree_util.tree_map(jnp.asarray, params)
+    batch_stats = jax.tree_util.tree_map(jnp.asarray, batch_stats)
+    tx = build_optimizers({"LR": lr, "scheduler_gamma": SCHED_GAMMA},
+                          params, steps_per_epoch=STEPS_PER_EPOCH)[0]
+    opt_state = tx.init(params)
+    rngs = {s: jax.random.PRNGKey(i) for i, s in
+            enumerate(("reparam", "gumbel", "noise", "dropout"))}
+    j_losses = []
+    try:
+        for step in range(n_steps):
+            x = jnp.asarray(batches[step])
+            fwd_kw = spec["fwd_kw"](step) if "fwd_kw" in spec else {}
+            loss_kw = {"M_N": KLD_WEIGHT, "step": step}
+            if "prior_z" in spec["draws"]:
+                loss_kw["prior_z"] = jnp.asarray(noise[step]["prior_z"])
+            if "proj" in spec["draws"]:
+                raw = noise[step]["proj"]
+                loss_kw["proj"] = jnp.asarray(
+                    raw / np.linalg.norm(raw, axis=1, keepdims=True))
+
+            def loss_fn(p, bs):
+                out, mut = model.apply(
+                    {"params": p, "batch_stats": bs}, x, train=True,
+                    rngs=rngs, mutable=["batch_stats"], **fwd_kw)
+                losses = model.loss_function(out, **loss_kw)
+                return losses["loss"], mut["batch_stats"]
+
+            (loss, batch_stats), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(params, batch_stats)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            j_losses.append(float(loss))
+    finally:
+        for r in restores:
+            r()
+    return t_losses, j_losses
+
+
 RUNNERS = {"vanilla": run_vanilla, "vqvae": run_vqvae, "ct": run_ct,
-           "fvae": run_fvae, "betab": run_betab}
+           "fvae": run_fvae, "betab": run_betab,
+           **{k: (lambda k=k: run_standard(k)) for k in STD_SPECS}}
 
 
 def main():

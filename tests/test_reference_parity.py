@@ -46,7 +46,7 @@ def ref_models():
         mods = {n: importlib.import_module(f"models.{n}") for n in
                 ["vanilla_vae", "beta_vae", "logcosh_vae", "iwae", "miwae",
                  "cat_vae", "joint_vae", "betatc_vae", "gamma_vae",
-                 "vq_vae", "mcq_vae"]}
+                 "vq_vae", "mcq_vae", "dip_vae", "mssim_vae"]}
         yield mods
     finally:
         sys.path.remove(REF)
@@ -354,3 +354,55 @@ def test_lvae_merge_and_kl_parity(ref_models):
     o_kl = kl_divergence(jnp.asarray(mu1), jnp.asarray(lv1),
                          jnp.asarray(mu2), jnp.asarray(lv2))
     np.testing.assert_allclose(np.asarray(o_kl), r_kl.numpy(), rtol=1e-4)
+
+
+def test_dip_reference_quirk_parity(ref_models):
+    """variance_term="reference" reproduces the reference's scalar
+    E[Sigma] collapse (dip_vae.py:152) exactly."""
+    import jax.numpy as jnp
+    B, D = 8, 6
+    rng = np.random.default_rng(21)
+    x, rec = _imgs((B, 16, 16, 3), 21), _imgs((B, 16, 16, 3), 22)
+    mu = rng.normal(size=(B, D)).astype(np.float32)
+    lv = (rng.normal(size=(B, D)) * 0.3).astype(np.float32)
+
+    ref = ref_models["dip_vae"].DIPVAE(3, D, lambda_diag=10.0,
+                                       lambda_offdiag=5.0)
+    r = ref.loss_function(_nchw(rec), _nchw(x), torch.from_numpy(mu),
+                          torch.from_numpy(lv), M_N=0.005)
+    ours = _ours("DIPVAE", in_channels=3, latent_dim=D,
+                 variance_term="reference").loss_function(
+        {"recons": jnp.asarray(rec), "input": jnp.asarray(x),
+         "mu": jnp.asarray(mu), "log_var": jnp.asarray(lv)}, M_N=0.005)
+    _close(r["loss"], ours["loss"], rtol=1e-4)
+    _close(r["DIP_Loss"], ours["DIP_Loss"], rtol=1e-4)
+
+    # and the paper-mode term is genuinely different on the same inputs
+    paper = _ours("DIPVAE", in_channels=3, latent_dim=D).loss_function(
+        {"recons": jnp.asarray(rec), "input": jnp.asarray(x),
+         "mu": jnp.asarray(mu), "log_var": jnp.asarray(lv)}, M_N=0.005)
+    assert abs(float(paper["DIP_Loss"]) - float(r["DIP_Loss"])) > 1e-3
+
+
+def test_mssim_reference_quirk_parity(ref_models):
+    """window_mode="reference" + normalize=False reproduces the
+    reference MSSIM loss (inverted window, raw fractional powers)."""
+    import jax.numpy as jnp
+    B, D = 4, 6
+    rng = np.random.default_rng(23)
+    x = _imgs((B, 64, 64, 3), 23)
+    # correlated recons so sim/cs stay positive (as in real training)
+    rec = np.clip(x + rng.normal(size=x.shape).astype(np.float32) * 0.05,
+                  0, 1)
+    mu = rng.normal(size=(B, D)).astype(np.float32)
+    lv = (rng.normal(size=(B, D)) * 0.3).astype(np.float32)
+
+    ref = ref_models["mssim_vae"].MSSIMVAE(3, D)
+    r = ref.loss_function(_nchw(rec), _nchw(x), torch.from_numpy(mu),
+                          torch.from_numpy(lv), M_N=0.005)
+    ours = _ours("MSSIMVAE", in_channels=3, latent_dim=D,
+                 window_mode="reference", normalize=False).loss_function(
+        {"recons": jnp.asarray(rec), "input": jnp.asarray(x),
+         "mu": jnp.asarray(mu), "log_var": jnp.asarray(lv)}, M_N=0.005)
+    _close(r["loss"], ours["loss"], rtol=1e-4)
+    _close(r["Reconstruction_Loss"], ours["Reconstruction_Loss"], rtol=1e-4)

@@ -66,9 +66,9 @@ def bn(m):
             {"mean": t2n(m.running_mean), "var": t2n(m.running_var)})
 
 
-def vanilla_vae(ref, latent_dim, hidden_dims, img_size):
-    """Reference VanillaVAE-style backbone (vanilla_vae.py:24-75) ->
-    (params, batch_stats) for StandardGaussianVAE subclasses."""
+def _standard_backbone(ref, hidden_dims, img_size):
+    """Encoder/decoder of the reference VanillaVAE-style backbone
+    (vanilla_vae.py:24-75) -> (enc_p, enc_s, dec_in, dec_p, dec_s, c, hw)."""
     enc_p, enc_s = {}, {}
     for i, block in enumerate(ref.encoder):
         p, s = bn(block[1])
@@ -78,9 +78,6 @@ def vanilla_vae(ref, latent_dim, hidden_dims, img_size):
 
     hw = img_size // (2 ** len(hidden_dims))
     c = hidden_dims[-1]
-    head = {"fc_mu": linear_flat_in(ref.fc_mu, c, hw, hw),
-            "fc_var": linear_flat_in(ref.fc_var, c, hw, hw)}
-
     dec_in = {"decoder_input": linear_flat_out(ref.decoder_input, c, hw, hw)}
 
     dec_p, dec_s = {}, {}
@@ -91,10 +88,41 @@ def vanilla_vae(ref, latent_dim, hidden_dims, img_size):
                                        "BatchNorm_0": p}
         dec_s[f"DeconvBNBlock_{i}"] = {"BatchNorm_0": s}
     dec_p["Conv_0"] = conv(ref.final_layer[3])
+    return enc_p, enc_s, dec_in, dec_p, dec_s, c, hw
 
+
+def vanilla_vae(ref, latent_dim, hidden_dims, img_size):
+    """Reference VanillaVAE-style backbone (vanilla_vae.py:24-75) ->
+    (params, batch_stats) for StandardGaussianVAE subclasses."""
+    enc_p, enc_s, dec_in, dec_p, dec_s, c, hw = _standard_backbone(
+        ref, hidden_dims, img_size)
+    head = {"fc_mu": linear_flat_in(ref.fc_mu, c, hw, hw),
+            "fc_var": linear_flat_in(ref.fc_var, c, hw, hw)}
     params = {"encoder": enc_p, "head": head, "decoder_input": dec_in,
               "decoder": dec_p}
     batch_stats = {"encoder": enc_s, "decoder": dec_s}
+    return params, batch_stats
+
+
+def deterministic_vae(ref, latent_dim, hidden_dims, img_size):
+    """WAE/SWAE/CategoricalVAE variant: single ``fc_z`` head, no
+    Gaussian heads (wae_mmd.py:41, swae.py:44, cat_vae.py:47)."""
+    enc_p, enc_s, dec_in, dec_p, dec_s, c, hw = _standard_backbone(
+        ref, hidden_dims, img_size)
+    params = {"encoder": enc_p,
+              "fc_z": linear_flat_in(ref.fc_z, c, hw, hw),
+              "decoder_input": dec_in, "decoder": dec_p}
+    batch_stats = {"encoder": enc_s, "decoder": dec_s}
+    return params, batch_stats
+
+
+def joint_vae(ref, latent_dim, hidden_dims, img_size):
+    """JointVAE: Gaussian heads + categorical ``fc_z`` head
+    (joint_vae.py:68-70)."""
+    params, batch_stats = vanilla_vae(ref, latent_dim, hidden_dims,
+                                      img_size)
+    hw = img_size // (2 ** len(hidden_dims))
+    params["fc_z"] = linear_flat_in(ref.fc_z, hidden_dims[-1], hw, hw)
     return params, batch_stats
 
 
