@@ -94,16 +94,18 @@ class ConvEncoder(nn.Module):
 
 
 class ConvDecoder(nn.Module):
-    """Mirrored ConvTranspose pyramid + final layer ending in Tanh.
+    """Mirrored ConvTranspose pyramid + final activation.
 
     Reference: /root/reference/models/vanilla_vae.py:40-75. The input is the
     [B, h, w, hidden_dims[-1]] feature map (callers reshape the latent).
-    ``final_tanh`` maps outputs to [-1, 1] as in the reference.
+    ``final_activation``: "tanh" ([-1, 1], the zoo default), "sigmoid"
+    ([0, 1] — GammaVAE, /root/reference/models/gamma_vae.py:80), or
+    "none".
     """
 
     hidden_dims: Sequence[int] = DEFAULT_HIDDEN_DIMS
     out_channels: int = 3
-    final_tanh: bool = True
+    final_activation: str = "tanh"
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -111,11 +113,13 @@ class ConvDecoder(nn.Module):
         rev = list(self.hidden_dims)[::-1]
         for h in rev[1:]:
             x = DeconvBNBlock(h, dtype=self.dtype)(x, train=train)
-        # final_layer: deconv to same width, BN, LeakyReLU, 3x3 conv, Tanh
+        # final_layer: deconv to same width, BN, LeakyReLU, 3x3 conv, act
         x = DeconvBNBlock(rev[-1], dtype=self.dtype)(x, train=train)
         x = nn.Conv(self.out_channels, (3, 3), padding="SAME", dtype=self.dtype)(x)
-        if self.final_tanh:
+        if self.final_activation == "tanh":
             x = jnp.tanh(x)
+        elif self.final_activation == "sigmoid":
+            x = jax.nn.sigmoid(x)
         return upcast32(x)
 
 

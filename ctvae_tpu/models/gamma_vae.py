@@ -51,7 +51,10 @@ class GammaVAE(BaseVAE):
                                dtype=self.dtype)
         self.decoder_input = DecoderInput(hd[-1], spatial=self._feat_hw,
                                           dtype=self.dtype)
+        # The reference's final layer ends in Sigmoid, not the zoo's
+        # usual Tanh (/root/reference/models/gamma_vae.py:69-80)
         self.decoder = ConvDecoder(hd, out_channels=self.in_channels,
+                                   final_activation="sigmoid",
                                    dtype=self.dtype)
 
     def encode(self, x: Array, *, train: bool = False):

@@ -70,11 +70,15 @@ class HVAE(BaseVAE):
         return [z1_mu, z1_log_var, z2_mu, z2_log_var, z2]
 
     def _decode_z1z2(self, z1: Array, z2: Array, *, train: bool) -> Array:
+        # The reference concatenates the two debed vectors on dim 1 and
+        # views NCHW (hvae.py:183-185): z1 features occupy the FIRST HALF
+        # OF THE CHANNELS at every spatial position (not a spatial
+        # split), so concat on the channel axis here.
         hw = self._feat_hw
-        d1 = self.debed_z1_code(z1)
-        d2 = self.debed_z2_code(z2)
-        feat = jnp.concatenate([d1, d2], axis=1).reshape(
-            -1, hw, hw, self._hdims[-1])
+        half_c = self._hdims[-1] // 2
+        d1 = self.debed_z1_code(z1).reshape(-1, hw, hw, half_c)
+        d2 = self.debed_z2_code(z2).reshape(-1, hw, hw, half_c)
+        feat = jnp.concatenate([d1, d2], axis=-1)
         return self.decoder(feat, train=train)
 
     def __call__(self, x: Array, *, train: bool = False, **kwargs) -> ModelOutput:

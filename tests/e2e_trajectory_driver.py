@@ -162,9 +162,13 @@ def run_vanilla():
 # VQVAE
 # ---------------------------------------------------------------------------
 
-def run_vqvae():
+def run_vqvae(mcq=False):
+    """VQVAE, or (mcq=True) MCQVAE with 2 codebooks in the reference's
+    exact overlapping-slice mode (mcq_vae.py:104,117 quirk,
+    quantizers.py slicing='overlap')."""
     import importlib
-    ref_mod = importlib.import_module("models.vq_vae")
+    ref_mod = importlib.import_module(
+        "models.mcq_vae" if mcq else "models.vq_vae")
     from ctvae_tpu.models import vae_models
 
     B, IMG, D, K = 4, 16, 8, 8
@@ -174,13 +178,19 @@ def run_vqvae():
     batches = [rng.uniform(size=(B, IMG, IMG, 3)) for _ in range(n_steps)]
 
     torch.manual_seed(1)
-    ref = ref_mod.VQVAE(in_channels=3, embedding_dim=D, num_embeddings=K,
-                        hidden_dims=list(HDIMS), img_size=IMG).double()
+    if mcq:
+        ref = ref_mod.MCQVAE(in_channels=3, embedding_dim=D,
+                             num_embeddings=K, hidden_dims=list(HDIMS),
+                             img_size=IMG, codebooks=2).double()
+        vq_p = tt.multi_codebook_vq(ref.vq_layer)
+    else:
+        ref = ref_mod.VQVAE(in_channels=3, embedding_dim=D,
+                            num_embeddings=K, hidden_dims=list(HDIMS),
+                            img_size=IMG).double()
+        vq_p = {"embedding": tt.t2n(ref.vq_layer.embedding.weight)}
     enc_p = tt.vq_encoder(tt.flatten_sequential(ref.encoder))
     dec_p = tt.vq_decoder(tt.flatten_sequential(ref.decoder))
-    params = {"encoder": enc_p, "decoder": dec_p,
-              "vq_layer": {"embedding":
-                           tt.t2n(ref.vq_layer.embedding.weight)}}
+    params = {"encoder": enc_p, "decoder": dec_p, "vq_layer": vq_p}
 
     opt = torch.optim.Adam(ref.parameters(), lr=LR)
     sched = torch.optim.lr_scheduler.ExponentialLR(opt, gamma=SCHED_GAMMA)
@@ -199,9 +209,15 @@ def run_vqvae():
             step += 1
         sched.step()
 
-    model = vae_models["VQVAE"](in_channels=3, embedding_dim=D,
-                                num_embeddings=K, hidden_dims=HDIMS,
-                                img_size=IMG, dtype=jnp.float64)
+    if mcq:
+        model = vae_models["MCQVAE"](in_channels=3, embedding_dim=D,
+                                     num_embeddings=K, hidden_dims=HDIMS,
+                                     img_size=IMG, codebooks=2,
+                                     slicing="overlap", dtype=jnp.float64)
+    else:
+        model = vae_models["VQVAE"](in_channels=3, embedding_dim=D,
+                                    num_embeddings=K, hidden_dims=HDIMS,
+                                    img_size=IMG, dtype=jnp.float64)
     params = jax.tree_util.tree_map(jnp.asarray, params)
     tx = _build_tx(params)
     opt_state = tx.init(params)
@@ -757,6 +773,27 @@ def _patch_reparam(*modules):
     return apply
 
 
+def _patch_reparam_seq(module, names):
+    """Round-robin reparameterize patch for hierarchical models that
+    draw several eps of different shapes per step (HVAE z2->z1, LVAE
+    top-down rungs), matching the reference's torch.randn_like call
+    order."""
+    def apply(queues):
+        import importlib
+        qs = [queues[n] for n in names]
+        state = {"i": 0}
+
+        def fake(r, mu, lv):
+            q = qs[state["i"] % len(qs)]
+            state["i"] += 1
+            return mu + jnp.exp(0.5 * lv) * q.pop(mu.shape)
+        mod = importlib.import_module(module)
+        orig = mod.reparameterize
+        mod.reparameterize = fake
+        return lambda: setattr(mod, "reparameterize", orig)
+    return apply
+
+
 def _patch_gumbel(*modules):
     """Replace ``gumbel_softmax_sample`` with the same formula fed by the
     shared uniform queue (reference cat_vae.py:124-129 draws
@@ -776,6 +813,66 @@ def _patch_gumbel(*modules):
         return lambda: [setattr(m, "gumbel_softmax_sample", o)
                         for m, o in saved]
     return apply
+
+
+def _call_hook(fn, step, extra):
+    """Invoke a spec hook with (step, extra) or legacy (step)."""
+    if fn is None:
+        return {}
+    try:
+        return fn(step, extra)
+    except TypeError:
+        return fn(step)
+
+
+def _patch_gamma_reparam():
+    """GammaVAE shape-augmentation sampling, fed by the shared eps queue:
+    the raw Gamma(alpha_sg + B, 1) draw is replaced by h(alpha_sg+B, eps)
+    on BOTH sides (same closed form, same eps), so the inv_h -> h gradient
+    path, the beta scaling, and the Gamma-Gamma KL are what's under test
+    (reference gamma_vae.py:116-136)."""
+    def apply(queues):
+        from ctvae_tpu.models.gamma_vae import GammaVAE
+        q = queues["eps"]
+        orig = GammaVAE.reparameterize
+
+        def fake(self, rng, alpha, beta):
+            a_sg = jax.lax.stop_gradient(alpha) + self.gamma_shape
+            z_hat = jax.lax.stop_gradient(
+                GammaVAE.h_func(a_sg, q.pop(alpha.shape)))
+            eps = GammaVAE.inv_h_func(alpha + self.gamma_shape, z_hat)
+            return GammaVAE.h_func(alpha + self.gamma_shape, eps) / beta
+        GammaVAE.reparameterize = fake
+        return lambda: setattr(GammaVAE, "reparameterize", orig)
+    return apply
+
+
+def _gamma_torch_patch(ref_mod):
+    """Mirror of _patch_gamma_reparam on the reference side: Gamma.sample
+    becomes h(concentration, eps) with eps popped from the shared queue
+    (via the already-patched torch.randn)."""
+    class FakeGamma:
+        def __init__(self, concentration, rate):
+            self.c = concentration
+
+        def sample(self):
+            eps = torch.randn(*self.c.shape)
+            return ((self.c - 1. / 3.)
+                    * (1 + eps / torch.sqrt(9. * self.c - 3.)) ** 3).detach()
+    ref_mod.Gamma = FakeGamma
+
+
+def _vamp_torch_patch(ref_mod):
+    """The reference VampVAE loss unconditionally calls .cuda(device)
+    on its pseudo-input (vampvae.py:145) — identity it out for CPU."""
+    torch.Tensor.cuda = lambda self, *a, **kw: self
+
+
+def _cvae_torch_patch(ref_mod):
+    """The reference CVAE downcasts labels with .float() (cvae.py:120),
+    which under a float64 run would feed float32 into double Linears.
+    Cast-to-working-dtype instead (ours upcasts, never downcasts)."""
+    torch.Tensor.float = lambda self: self.to(torch.get_default_dtype())
 
 
 def _mssim_float64_window(ref_mod):
@@ -916,12 +1013,85 @@ STD_SPECS = {
                  deterministic=True, draws=("prior_z", "proj"), seed=17,
                  lr=1e-4),
     "info": dict(ref_module="info_vae", ref_cls="InfoVAE",
+                 ours="InfoVAE",
                  ref_kw=dict(alpha=-0.5, beta=5.0, reg_weight=110,
                              kernel_type="imq", latent_var=2.0),
-                 ours="InfoVAE",
                  ours_kw=dict(alpha=-0.5, beta=5.0, reg_weight=110.0,
                               kernel_type="imq", latent_var=2.0),
                  draws=("eps", "prior_z"), seed=18),
+    # LR 1e-4: at 5e-3 the VampVAE objective itself explodes (E_log_q is
+    # unbounded below; BOTH frameworks reach -1e102 by step 7, tracking
+    # each other until rounding amplifies through the blow-up)
+    "vamp": dict(ref_module="vampvae", ref_cls="VampVAE",
+                 ref_kw=dict(num_components=50),
+                 ours="VampVAE", ours_kw=dict(num_components=50),
+                 transplant="vamp", draws=("eps",), seed=23, lr=1e-4,
+                 torch_patch=_vamp_torch_patch),
+    "cvae": dict(ref_module="cvae", ref_cls="ConditionalVAE",
+                 ref_args=lambda latent: (3, 40, latent),
+                 ref_kw={}, ours="ConditionalVAE",
+                 ours_kw=dict(num_classes=40),
+                 transplant="cvae", draws=("eps",), seed=24,
+                 torch_patch=_cvae_torch_patch,
+                 jax_noise=(_patch_reparam("ctvae_tpu.models.cvae"),),
+                 make_extra=lambda rng, B, n: {
+                     "labels": (rng.uniform(size=(n, B, 40)) < 0.5)
+                     .astype(np.float64)},
+                 torch_fwd_kw=lambda step, extra: {
+                     "labels": torch.from_numpy(extra["labels"][step])},
+                 fwd_kw=lambda step, extra: {
+                     "labels": jnp.asarray(extra["labels"][step])}),
+    "gamma": dict(ref_module="gamma_vae", ref_cls="GammaVAE",
+                  ref_kw=dict(gamma_shape=8.0, prior_shape=2.0,
+                              prior_rate=1.0),
+                  ours="GammaVAE",
+                  ours_kw=dict(gamma_shape=8.0, prior_shape=2.0,
+                               prior_rate=1.0),
+                  transplant="gamma", draws=("eps",), seed=25, lr=1e-4,
+                  jax_noise=(_patch_gamma_reparam(),),
+                  torch_patch=_gamma_torch_patch),
+    # LR 1e-4 for the two hierarchical models: at the shipped 5e-3 both
+    # objectives blow up within 2-3 Adam steps in BOTH frameworks
+    # (documented in PARITY.md); a tame LR keeps 10 steps comparable.
+    "hvae": dict(ref_module="hvae", ref_cls="HVAE",
+                 ref_args=lambda latent: (3, 16, 8),
+                 ref_kw={}, ours="HVAE",
+                 ours_ctor=lambda vm, img: vm["HVAE"](
+                     in_channels=3, latent1_dim=16, latent2_dim=8,
+                     img_size=img, dtype=jnp.float64),
+                 transplant="hvae",
+                 draws=("eps", "eps2"),
+                 shapes=lambda B, D: {"eps": (B, 8), "eps2": (B, 16)},
+                 jax_noise=(_patch_reparam_seq("ctvae_tpu.models.hvae",
+                                               ("eps", "eps2")),),
+                 seed=27, lr=1e-4),
+    "lvae": dict(ref_module="lvae", ref_cls="LVAE",
+                 ref_args=lambda latent: (3, [4, 8, 16, 32, 128],
+                                          [32, 64, 128, 256, 512]),
+                 ref_kw={}, ours="LVAE",
+                 ours_ctor=lambda vm, img: vm["LVAE"](
+                     in_channels=3, latent_dims=(4, 8, 16, 32, 128),
+                     hidden_dims=(32, 64, 128, 256, 512),
+                     img_size=img, dtype=jnp.float64),
+                 transplant="lvae",
+                 draws=("eps", "eps2", "eps3", "eps4", "eps5"),
+                 shapes=lambda B, D: {"eps": (B, 128), "eps2": (B, 32),
+                                      "eps3": (B, 16), "eps4": (B, 8),
+                                      "eps5": (B, 4)},
+                 jax_noise=(_patch_reparam_seq(
+                     "ctvae_tpu.models.lvae",
+                     ("eps", "eps2", "eps3", "eps4", "eps5")),),
+                 seed=28, lr=1e-4),
+    "betatc": dict(ref_module="betatc_vae", ref_cls="BetaTCVAE",
+                   ref_kw=dict(anneal_steps=200, alpha=1.0, beta=6.0,
+                               gamma=1.0),
+                   ours="BetaTCVAE",
+                   ours_kw=dict(anneal_steps=200, alpha=1.0, beta=6.0,
+                                gamma=1.0),
+                   transplant="betatc", hdims=[32, 32, 32, 32],
+                   draws=("eps",), seed=26,
+                   jax_noise=(
+                       _patch_reparam("ctvae_tpu.models.betatc_vae"),)),
 }
 
 
@@ -934,7 +1104,7 @@ def run_standard(key):
     from ctvae_tpu.models import vae_models
 
     B, IMG, LATENT, NPROJ = 4, 64, 10, 50
-    HDIMS = [32, 64, 128, 256, 512]
+    HDIMS = spec.get("hdims", [32, 64, 128, 256, 512])
     lr = spec.get("lr", LR)
     n_steps = EPOCHS * STEPS_PER_EPOCH
     shapes = {"eps": (B, LATENT), "prior_z": (B, LATENT),
@@ -947,19 +1117,30 @@ def run_standard(key):
     noise = [{name: (rng.uniform(size=shapes[name]) if name in uniform
                      else rng.standard_normal(shapes[name]))
               for name in spec["draws"]} for _ in range(n_steps)]
+    extra = (spec["make_extra"](rng, B, n_steps)
+             if "make_extra" in spec else None)
 
     torch.manual_seed(spec["seed"])
-    ref = getattr(ref_mod, spec["ref_cls"])(3, LATENT,
+    args = spec["ref_args"](LATENT) if "ref_args" in spec else (3, LATENT)
+    ref = getattr(ref_mod, spec["ref_cls"])(*args,
                                             **spec["ref_kw"]).double()
     if "torch_patch" in spec:
         spec["torch_patch"](ref_mod)
     transplants = {"vanilla": tt.vanilla_vae,
                    "deterministic": tt.deterministic_vae,
-                   "joint": tt.joint_vae}
+                   "joint": tt.joint_vae,
+                   "vamp": tt.vamp_vae,
+                   "cvae": tt.conditional_vae,
+                   "gamma": tt.gamma_vae,
+                   "betatc": lambda r, d, hd, img: tt.betatc_vae(r, hd,
+                                                                 img),
+                   "hvae": lambda r, d, hd, img: tt.hvae(r, hd, img),
+                   "lvae": lambda r, d, hd, img: tt.lvae(r, hd, img)}
     tname = spec.get("transplant",
                      "deterministic" if spec.get("deterministic")
                      else "vanilla")
     params, batch_stats = transplants[tname](ref, LATENT, HDIMS, IMG)
+    has_bn = bool(batch_stats)
 
     # ---- torch side: every rand-family draw pops the shared queue in
     # call order (reparam/Gumbel in forward; prior_z/proj inside the loss)
@@ -978,7 +1159,8 @@ def run_standard(key):
         for _ in range(EPOCHS):
             for _ in range(STEPS_PER_EPOCH):
                 x = _nchw(batches[step])
-                out = ref.forward(x)
+                out = ref.forward(
+                    x, **_call_hook(spec.get("torch_fwd_kw"), step, extra))
                 t_loss_kw = (spec["torch_loss_kw"](step)
                              if "torch_loss_kw" in spec else {})
                 losses = ref.loss_function(*out, M_N=KLD_WEIGHT,
@@ -996,9 +1178,12 @@ def run_standard(key):
     # loss functions' explicit injection kwargs
     import ctvae_tpu.models.gaussian_base as gb
     from ctvae_tpu.training.optimizers import build_optimizers
-    model = vae_models[spec["ours"]](in_channels=3, latent_dim=LATENT,
-                                     img_size=IMG, dtype=jnp.float64,
-                                     **spec["ours_kw"])
+    if "ours_ctor" in spec:
+        model = spec["ours_ctor"](vae_models, IMG)
+    else:
+        model = vae_models[spec["ours"]](in_channels=3, latent_dim=LATENT,
+                                         img_size=IMG, dtype=jnp.float64,
+                                         **spec["ours_kw"])
     queues = {name: Queue([jnp.asarray(st[name]) for st in noise])
               for name in spec["draws"]}
     restores = []
@@ -1022,7 +1207,7 @@ def run_standard(key):
     try:
         for step in range(n_steps):
             x = jnp.asarray(batches[step])
-            fwd_kw = spec["fwd_kw"](step) if "fwd_kw" in spec else {}
+            fwd_kw = _call_hook(spec.get("fwd_kw"), step, extra)
             loss_kw = {"M_N": KLD_WEIGHT, "step": step}
             if "prior_z" in spec["draws"]:
                 loss_kw["prior_z"] = jnp.asarray(noise[step]["prior_z"])
@@ -1032,11 +1217,14 @@ def run_standard(key):
                     raw / np.linalg.norm(raw, axis=1, keepdims=True))
 
             def loss_fn(p, bs):
+                variables = {"params": p}
+                if has_bn:
+                    variables["batch_stats"] = bs
                 out, mut = model.apply(
-                    {"params": p, "batch_stats": bs}, x, train=True,
+                    variables, x, train=True,
                     rngs=rngs, mutable=["batch_stats"], **fwd_kw)
                 losses = model.loss_function(out, **loss_kw)
-                return losses["loss"], mut["batch_stats"]
+                return losses["loss"], mut.get("batch_stats", bs)
 
             (loss, batch_stats), grads = jax.value_and_grad(
                 loss_fn, has_aux=True)(params, batch_stats)
@@ -1051,11 +1239,11 @@ def run_standard(key):
 
 RUNNERS = {"vanilla": run_vanilla, "vqvae": run_vqvae, "ct": run_ct,
            "fvae": run_fvae, "betab": run_betab,
+           "mcq": lambda: run_vqvae(mcq=True),
            **{k: (lambda k=k: run_standard(k)) for k in STD_SPECS}}
 
 
-def main():
-    which = sys.argv[1] if len(sys.argv) > 1 else "vanilla"
+def run_one(which):
     out = RUNNERS[which]()
     t_losses, j_losses = out[0], out[1]
     rel = [abs(a - b) / max(abs(a), 1e-12)
@@ -1079,7 +1267,16 @@ def main():
         payload["jax_vs_control_rel"] = [
             abs(a - b) / max(abs(a), 1e-12)
             for a, b in zip(c, j_losses)]
-    print(json.dumps(payload))
+    return payload
+
+
+def main():
+    """One JSON line per requested model. Comma-separate keys to
+    amortize interpreter + import startup over many trajectory runs
+    (the zoo test runs all STD_SPECS keys in one subprocess)."""
+    which = sys.argv[1] if len(sys.argv) > 1 else "vanilla"
+    for key in which.split(","):
+        print(json.dumps(run_one(key)), flush=True)
 
 
 if __name__ == "__main__":
