@@ -159,6 +159,114 @@ def run_vanilla():
 
 
 # ---------------------------------------------------------------------------
+# DFCVAE — perceptual loss through a shared VGG19-bn weight set
+# ---------------------------------------------------------------------------
+
+def run_dfc():
+    """DFCVAE trajectory with IDENTICAL VGG19-bn feature weights on both
+    sides: the torchvision-format fixture from test_vgg_parity is handed
+    to the reference ctor (its torchvision import is a stub on this
+    host) and its saved state_dict is loaded into our frozen collection
+    via the production ``load_vgg19_bn_weights`` path.
+
+    The reference ctor puts the feature net in eval mode
+    (/root/reference/models/dfcvae.py:87) but a later ``model.train()``
+    — which Lightning issues every epoch — silently flips its BatchNorms
+    back to train mode. We reproduce the ctor's *intent* (frozen
+    eval-mode features, as ours implements) by re-calling
+    ``feature_network.eval()`` after ``ref.train()``."""
+    import importlib
+    import tempfile
+
+    from test_vgg_parity import TorchVGG19BN
+    import ctvae_tpu.models.gaussian_base as gb
+    from ctvae_tpu.models import vae_models
+    from ctvae_tpu.models.vgg import load_vgg19_bn_weights
+
+    # B=2 and one 5-step epoch: the float64 VGG19 forward+backward is
+    # ~100x the cost of any other zoo model; 5 Adam steps already pin
+    # the full perceptual-loss gradient path.
+    B, IMG, LATENT = 2, 64, 10
+    HDIMS = [32, 64, 128, 256, 512]
+    n_steps = STEPS_PER_EPOCH
+    rng = np.random.default_rng(31)
+    batches = [rng.uniform(size=(B, IMG, IMG, 3)) for _ in range(n_steps)]
+    eps = [rng.standard_normal((B, LATENT)) for _ in range(n_steps)]
+
+    torch.manual_seed(31)
+    vgg = TorchVGG19BN().double()
+    ref_mod = importlib.import_module("models.dfcvae")
+    ref_mod.vgg19_bn = lambda pretrained=True: vgg
+    ref = ref_mod.DFCVAE(3, LATENT).double()
+    params, batch_stats = tt.vanilla_vae(ref, LATENT, HDIMS, IMG)
+    with tempfile.NamedTemporaryFile(suffix=".pth", delete=False) as f:
+        vgg_path = f.name
+    torch.save(vgg.state_dict(), vgg_path)
+
+    # ---- torch side ----
+    opt = torch.optim.Adam(ref.parameters(), lr=LR)
+    sched = torch.optim.lr_scheduler.ExponentialLR(opt, gamma=SCHED_GAMMA)
+    tq = Queue([torch.from_numpy(e) for e in eps])
+    orig_randn_like = torch.randn_like
+    torch.randn_like = lambda t, **kw: tq.pop(t.shape)
+    t_losses = []
+    try:
+        ref.train()
+        ref.feature_network.eval()
+        for step in range(n_steps):
+            x = _nchw(batches[step])
+            out = ref.forward(x)
+            losses = ref.loss_function(*out, M_N=KLD_WEIGHT)
+            opt.zero_grad()
+            losses["loss"].backward()
+            opt.step()
+            t_losses.append(float(losses["loss"]))
+        sched.step()
+    finally:
+        torch.randn_like = orig_randn_like
+
+    # ---- jax side ----
+    model = vae_models["DFCVAE"](in_channels=3, latent_dim=LATENT,
+                                 img_size=IMG, dtype=jnp.float64)
+    variables = model.init({"params": jax.random.PRNGKey(0),
+                            "reparam": jax.random.PRNGKey(1)},
+                           jnp.zeros((1, IMG, IMG, 3)), train=True)
+    frozen = {"feature_network": load_vgg19_bn_weights(
+        dict(variables["frozen"]["feature_network"]), vgg_path)}
+
+    jq = Queue([jnp.asarray(e) for e in eps])
+    orig_reparam = gb.reparameterize
+    gb.reparameterize = (lambda r, mu, lv:
+                         mu + jnp.exp(0.5 * lv) * jq.pop(mu.shape))
+    params = jax.tree_util.tree_map(jnp.asarray, params)
+    batch_stats = jax.tree_util.tree_map(jnp.asarray, batch_stats)
+    tx = _build_tx(params)
+    opt_state = tx.init(params)
+    rngs = {s: jax.random.PRNGKey(i) for i, s in
+            enumerate(("reparam", "gumbel", "noise", "dropout"))}
+    j_losses = []
+    try:
+        for step in range(n_steps):
+            x = jnp.asarray(batches[step])
+
+            def loss_fn(p, bs):
+                out, mut = model.apply(
+                    {"params": p, "batch_stats": bs, "frozen": frozen},
+                    x, train=True, rngs=rngs, mutable=["batch_stats"])
+                losses = model.loss_function(out, M_N=KLD_WEIGHT)
+                return losses["loss"], mut["batch_stats"]
+
+            (loss, batch_stats), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(params, batch_stats)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            j_losses.append(float(loss))
+    finally:
+        gb.reparameterize = orig_reparam
+    return t_losses, j_losses
+
+
+# ---------------------------------------------------------------------------
 # VQVAE
 # ---------------------------------------------------------------------------
 
@@ -1239,7 +1347,7 @@ def run_standard(key):
 
 RUNNERS = {"vanilla": run_vanilla, "vqvae": run_vqvae, "ct": run_ct,
            "fvae": run_fvae, "betab": run_betab,
-           "mcq": lambda: run_vqvae(mcq=True),
+           "mcq": lambda: run_vqvae(mcq=True), "dfc": run_dfc,
            **{k: (lambda k=k: run_standard(k)) for k in STD_SPECS}}
 
 

@@ -136,6 +136,21 @@ def test_zoo_trajectory_parity(group):
 
 
 @pytest.mark.slow
+def test_dfc_trajectory_parity():
+    """DFCVAE with identical VGG19-bn weights on both sides (the
+    torchvision-format fixture from test_vgg_parity, loaded into our
+    frozen collection through the production load_vgg19_bn_weights
+    path). 5 steps at batch 2 — the float64 VGG forward+backward
+    dominates the whole zoo's cost, and 5 Adam steps already pin the
+    perceptual-loss gradient path."""
+    d = _run_driver("dfc", timeout=1480)
+    assert d["steps"] == 5
+    assert d["rel_diffs"][0] < 1e-12, d["rel_diffs"]
+    assert d["max_rel_diff"] < 1e-5, d["rel_diffs"]
+    assert d["torch_last"] < d["torch_first"]
+
+
+@pytest.mark.slow
 def test_ct_trajectory_parity_all_modes():
     d = _run_driver("ct")
     assert d["steps"] == 10
