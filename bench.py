@@ -175,8 +175,12 @@ def main():
         for _ in range(WARMUP_STEPS):
             state, metrics = compiled(state, sbatch)
         _ = float(metrics["loss"])
+        # RTT on a fresh ready scalar (re-fetching metrics["loss"] would
+        # hit its host-side cache and measure ~0)
+        probe = jax.device_put(jnp.float32(0)) + 1
+        probe.block_until_ready()
         t0 = time.perf_counter()
-        _ = float(metrics["loss"])  # measure one RTT on a ready value
+        _ = float(probe)
         rtt = time.perf_counter() - t0
         t0 = time.perf_counter()
         for _ in range(BENCH_STEPS):

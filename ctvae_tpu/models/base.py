@@ -71,11 +71,9 @@ class BaseVAE(nn.Module):
 # Shared loss helpers (pure jnp; fused by XLA into the surrounding step).
 # ---------------------------------------------------------------------------
 
-def upcast32(x: Array) -> Array:
-    """Promote to at least float32 (bf16 compute -> f32 loss math) —
-    never downcast: float64 stays float64, which the float64 e2e
-    trajectory-parity driver (tests/e2e_trajectory_driver.py) relies on."""
-    return x.astype(jnp.promote_types(x.dtype, jnp.float32))
+# Canonical definition lives in ops.common; re-exported here because the
+# whole model zoo imports it from models.base.
+from ..ops.common import upcast32  # noqa: E402
 
 
 def mse_loss(pred: Array, target: Array) -> Array:

@@ -38,6 +38,11 @@ class HVAE(BaseVAE):
 
     def setup(self):
         hd = self._hdims
+        if hd[-1] % 2:
+            raise ValueError(
+                f"HVAE: hidden_dims[-1] must be even (got {hd[-1]}): the "
+                "decoder feature map's channels are split in half "
+                "between the z1 and z2 debed vectors")
         self.encoder_z2_layers = ConvEncoder(hd, dtype=self.dtype)
         self.head_z2 = GaussianHead(self.latent2_dim, dtype=self.dtype)
         self.embed_z2_code = nn.Dense(self.img_size * self.img_size,

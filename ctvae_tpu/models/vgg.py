@@ -63,8 +63,11 @@ class FrozenVGG19BN(nn.Module):
             return idx
 
         order = [int(k) for k in self.feature_layers]
-        wanted = {effective(i): pos for pos, i in enumerate(order)}
-        max_idx = max(wanted)
+        # list of (effective_idx, output_position): two requested taps
+        # may collapse onto the same effective index (a bn tap and its
+        # following relu); both must still be emitted
+        wanted = [(effective(i), pos) for pos, i in enumerate(order)]
+        max_idx = max(e for e, _ in wanted)
         feats = []
         he = nn.initializers.he_normal()
         for idx, (kind, ch) in enumerate(plan):
@@ -93,8 +96,9 @@ class FrozenVGG19BN(nn.Module):
             else:  # pool
                 x = jax.lax.reduce_window(x, -jnp.inf, jax.lax.max,
                                           (1, 2, 2, 1), (1, 2, 2, 1), "VALID")
-            if idx in wanted:
-                feats.append((wanted[idx], x))
+            for eff, pos in wanted:
+                if eff == idx:
+                    feats.append((pos, x))
             if idx >= max_idx:
                 break
         return [x for _, x in sorted(feats, key=lambda t: t[0])]

@@ -23,8 +23,7 @@ import jax
 import jax.numpy as jnp
 
 
-def upcast32(x):
-    return x.astype(jnp.promote_types(x.dtype, jnp.float32))
+from .common import upcast32  # noqa: E402  (single shared definition)
 
 import numpy as np
 

@@ -22,8 +22,7 @@ import jax
 import jax.numpy as jnp
 
 
-def upcast32(x):
-    return x.astype(jnp.promote_types(x.dtype, jnp.float32))
+from .common import upcast32  # noqa: E402  (single shared definition)
 
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu

@@ -26,6 +26,7 @@ from __future__ import annotations
 import argparse
 import copy
 import json
+import math
 import os
 import random
 from typing import Any, Dict
@@ -48,10 +49,12 @@ def sample_params(config: Dict[str, Any], spec: Any,
     def walk(spec_node, cfg_node):
         if isinstance(spec_node, dict):
             for key, nested in spec_node.items():
-                cfg_node[key] = walk(nested, cfg_node[key])
+                if key in cfg_node:  # missing keys skipped, as in the
+                    cfg_node[key] = walk(nested, cfg_node[key])  # reference
         elif isinstance(spec_node, list):
             for key in spec_node:
-                cfg_node[key] = walk(None, cfg_node[key])
+                if key in cfg_node:
+                    cfg_node[key] = walk(None, cfg_node[key])
         else:  # leaf: convert the config value itself
             if isinstance(cfg_node, tuple):
                 return rng.uniform(cfg_node[0], cfg_node[1])
@@ -63,13 +66,17 @@ def sample_params(config: Dict[str, Any], spec: Any,
 
 
 def select_best(results):
-    """Best trial by lowest ``val_Reconstruction_Loss`` (missing ->
-    +inf, so failed metrics never win)."""
+    """Best trial by lowest ``val_Reconstruction_Loss``. Missing or
+    non-finite losses never win (NaN compares False against everything,
+    so it must be screened explicitly, not relied on to lose)."""
     best = None
     for entry in results:
-        if best is None or entry["loss"] < best["loss"]:
+        loss = entry["loss"]
+        if not math.isfinite(loss):
+            continue
+        if best is None or loss < best["loss"]:
             best = entry
-    return best
+    return best if best is not None else (results[0] if results else None)
 
 
 def run_trial(trial_config: Dict[str, Any], trial_id: int,

@@ -52,14 +52,15 @@ def main():
     compiled = step.lower(state, batch).compile()
     for _ in range(5):
         state, metrics = compiled(state, batch)
-    _ = float(metrics["loss"])
+    _ = float(metrics["loss"])       # sync: the warmup chain is done
     # RTT probe on a FRESH (never-fetched) scalar — re-reading an
-    # already-fetched array can hit a host-side cache and measure ~0
-    state, metrics = compiled(state, batch)
-    _ = float(metrics["Reconstruction_Loss"]
-              if "Reconstruction_Loss" in metrics else metrics["loss"])
+    # already-fetched jax.Array hits its host-side _npy_value cache and
+    # measures ~0. An independent trivial computation is ready by
+    # construction, so the timed fetch is a pure tunnel round-trip.
+    probe = jax.device_put(jnp.float32(0)) + 1
+    probe.block_until_ready()
     t0 = time.perf_counter()
-    _ = float(metrics["loss"])
+    _ = float(probe)
     rtt = time.perf_counter() - t0
     n_fetches = 0
     t0 = time.perf_counter()
