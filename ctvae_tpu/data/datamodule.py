@@ -51,14 +51,17 @@ class _SyntheticAdapter(SyntheticDataset):
 
 
 def _t_synthetic(data_dir="", split="train", transform=None, img_size=64,
-                 **kw):
+                 factor_sizes=None, **kw):
     """True causal transition dataset over the synthetic factor grid:
     pairs differ in exactly one factor, the action names it — so CT-VAE
     can genuinely learn (and tests can measure) causal structure, unlike
     random pairings (transitions built in-memory, no variation_attrs
-    file needed)."""
-    from .synthetic import SyntheticGridDataset
-    base = SyntheticGridDataset(img_size=img_size, split=split)
+    file needed). ``factor_sizes`` (data_params passthrough) scales the
+    grid; default (5, 5, 3, 4) = 300 images."""
+    from .synthetic import GRID_FACTOR_SIZES, SyntheticGridDataset
+    base = SyntheticGridDataset(
+        img_size=img_size, split=split,
+        factor_sizes=tuple(factor_sizes or GRID_FACTOR_SIZES))
     ds = TransitionDataset.__new__(TransitionDataset)
     ds.dataset = base
     ds.num_variations = len(base.factor_sizes)

@@ -116,6 +116,21 @@ def test_vaedataset_end_to_end_synthetic():
     assert batch["mode"] == "base"
 
 
+def test_tsynthetic_factor_sizes_passthrough():
+    """data_params.factor_sizes scales the synthetic causal grid (the
+    knob used to grow the causal-learning benchmark past the default
+    300-image grid)."""
+    dm = VAEDataset(data_path="", dataset_name="TSynthetic",
+                    train_batch_size=8, patch_size=16,
+                    factor_sizes=[4, 4, 2, 3])
+    dm.setup()
+    base = dm.train_dataset._full_data
+    assert base.factor_sizes == (4, 4, 2, 3)
+    # actions stay 2F-dim one-hots regardless of grid size
+    assert dm.train_dataset.actions.shape[1] == 8
+    assert len(base) == int(4 * 4 * 2 * 3 * 0.7)
+
+
 def test_registry_names_match_reference():
     expected = {"Celeba", "TCeleba", "Cars3D", "TCars3D", "DSprites",
                 "TDSprites", "SmallNORB", "TSmallNORB", "Shapes3D",
