@@ -147,6 +147,39 @@ def bench_ct_step(mode, batch):
     return dt / CT_STEPS * 1e3
 
 
+def bench_inference_vanilla(batch=2048):
+    """Serving throughput: jitted VanillaVAE reconstruct (the serving
+    subsystem's `reconstruct` entry point) img/s at 64x64 bf16."""
+    from ctvae_tpu.models.base import RNG_STREAMS
+    from ctvae_tpu.serving import make_inference_fn
+
+    model = vae_models["VanillaVAE"](in_channels=3, latent_dim=128,
+                                     img_size=IMG, dtype=jnp.bfloat16)
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.uniform(rng, (batch, IMG, IMG, 3), jnp.float32)
+    rngs = {"params": rng, **{s: jax.random.fold_in(rng, i + 1)
+                              for i, s in enumerate(RNG_STREAMS)}}
+    variables = model.init(rngs, x, train=False)
+    infer = jax.jit(make_inference_fn(model, variables, "reconstruct"))
+    key = jax.random.PRNGKey(1)
+    out = infer(key, x)
+    _ = float(out[0, 0, 0, 0])          # force compile + first run
+    probe = jax.device_put(jnp.float32(0)) + 1
+    probe.block_until_ready()
+    t0 = time.perf_counter()
+    _ = float(probe)
+    rtt = time.perf_counter() - t0
+    steps, n_fetches = 50, 0
+    t0 = time.perf_counter()
+    for i in range(steps):
+        out = infer(key, x)
+        if (i + 1) % 10 == 0:           # bound the async queue
+            _ = float(out[0, 0, 0, 0])
+            n_fetches += 1
+    dt = max(time.perf_counter() - t0 - rtt * n_fetches, 1e-9)
+    return steps * batch / dt
+
+
 def main():
     model = vae_models["VanillaVAE"](in_channels=3, latent_dim=128,
                                      img_size=IMG, dtype=jnp.bfloat16)
@@ -215,6 +248,12 @@ def main():
         ct["ct_action_img_per_sec"] = round(
             128 * 1e3 / ct["ct_action_ms_per_step"], 0)
 
+    try:
+        infer_ips = round(bench_inference_vanilla(), 0)
+    except Exception as e:
+        print(f"warning: inference bench failed: {e!r}", file=sys.stderr)
+        infer_ips = None
+
     torch_cpu = measure_torch_reference_cpu()
     vs = round(per_chip / torch_cpu, 3) if torch_cpu else None
     print(json.dumps({
@@ -228,6 +267,7 @@ def main():
                     "citable anchor in this sandbox)",
         "torch_cpu_img_per_sec": round(torch_cpu, 1) if torch_cpu else None,
         "tflops_per_chip": round(tflops, 1) if step_flops else None,
+        "infer_images_per_sec": infer_ips,
         **ct,
     }))
 
