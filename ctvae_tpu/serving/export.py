@@ -165,12 +165,35 @@ def _polymorphic_batch(args: Sequence[Array]) -> Tuple:
 
 def export_fn(fn: Callable, example_args: Sequence[Array], *,
               platforms: Sequence[str] = ("cpu", "tpu"),
-              poly_batch: bool = False) -> jexport.Exported:
-    """Trace + lower ``fn`` at ``example_args`` for ``platforms``."""
+              poly_batch: bool = False,
+              mesh=None, data_axis: str = "data") -> jexport.Exported:
+    """Trace + lower ``fn`` at ``example_args`` for ``platforms``.
+
+    With ``mesh``, the artifact is exported SPMD over the mesh for
+    pod-scale serving: every array argument after the key is sharded on
+    its batch (leading) dimension along ``data_axis``, the key is
+    replicated, and the deserialized module runs on any same-size device
+    set (``Exported.nr_devices`` is recorded in the manifest). XLA
+    inserts the collectives — same recipe as the training step.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec
+
     args = tuple(jnp.asarray(a) for a in example_args)
+    if mesh is not None:
+        if poly_batch:
+            raise ValueError("poly_batch and mesh are mutually exclusive "
+                             "(a sharded batch dim must be concrete)")
+        rep = NamedSharding(mesh, PartitionSpec())
+        in_sh = (rep,) + tuple(
+            NamedSharding(mesh,
+                          PartitionSpec(data_axis, *([None] * (a.ndim - 1))))
+            for a in args[1:])
+        jf = jax.jit(fn, in_shardings=in_sh)
+    else:
+        jf = jax.jit(fn)
     if poly_batch:
         args = _polymorphic_batch(args)
-    return jexport.export(jax.jit(fn), platforms=tuple(platforms))(*args)
+    return jexport.export(jf, platforms=tuple(platforms))(*args)
 
 
 def save_artifact(out_dir: str, exported: Dict[str, jexport.Exported],
@@ -186,6 +209,7 @@ def save_artifact(out_dir: str, exported: Dict[str, jexport.Exported],
         manifest["functions"][name] = {
             "file": f"{name}.shlo",
             "platforms": list(exp.platforms),
+            "nr_devices": exp.nr_devices,
             "in_avals": [str(a) for a in exp.in_avals],
             "out_avals": [str(a) for a in exp.out_avals],
         }

@@ -140,6 +140,33 @@ def test_conditional_vae_needs_labels(tmp_path):
                                rtol=1e-4, atol=1e-5)
 
 
+def test_spmd_artifact_over_8_device_mesh(tmp_path):
+    """Pod-scale serving: export CT classify_action SPMD over the 8-device
+    mesh (batch sharded on the data axis, key replicated); the deserialized
+    module must run on the same-size device set and match the live model."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+    model, variables, x, y, _ = _ct()
+    # batch must tile the mesh: 8 samples over 8 devices
+    rng = np.random.default_rng(3)
+    x8 = jnp.asarray(rng.uniform(size=(8, 16, 16, 3)).astype(np.float32))
+    y8 = jnp.asarray(rng.uniform(size=(8, 16, 16, 3)).astype(np.float32))
+    key = jax.random.PRNGKey(11)
+
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(8), ("data",))
+    fn = make_inference_fn(model, variables, "classify_action")
+    exp = export_fn(fn, (key, x8, y8), platforms=("cpu",), mesh=mesh)
+    out = save_artifact(str(tmp_path / "art"), {"classify_action": exp})
+    fns, manifest = load_artifact(out)
+    assert manifest["functions"]["classify_action"]["nr_devices"] == 8
+
+    shard = NamedSharding(mesh, PartitionSpec("data", None, None, None))
+    got = np.asarray(fns["classify_action"](
+        key, jax.device_put(x8, shard), jax.device_put(y8, shard)))
+    np.testing.assert_allclose(got, np.asarray(fn(key, x8, y8)),
+                               rtol=1e-4, atol=1e-5)
+
+
 def test_vq_family_has_sample_but_base_raises():
     # MCQVAE overrides sample (random z -> quantize -> decode); a model
     # that doesn't override it must not list it.
