@@ -93,9 +93,16 @@ def make_inference_fn(model, variables, name: str, *,
 
     if name == "encode":
         def fn(key, x):
-            del key
-            z = model.apply(variables, x, train=False,
-                            method=model.encode)[0]
+            # rngs are required by stochastic encoders (HVAE draws its z2
+            # sample inside encode); LVAE returns a list of (mu, log_var)
+            # rung tuples — unwrap to the first array like the metrics
+            # repr_fn does.
+            out = model.apply(variables, x, train=False,
+                              method=model.encode,
+                              rngs=_stream_rngs(key))
+            z = out[0]
+            while isinstance(z, (tuple, list)):
+                z = z[0]
             return z.reshape(z.shape[0], -1)
         return fn
 

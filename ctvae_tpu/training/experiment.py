@@ -241,6 +241,10 @@ class VAEXperiment:
                 enc = model.apply(variables, x, rngs=rngs,
                                   method=model.encode)
                 mu = enc[0]
+                # LVAE returns a list of per-rung (mu, log_var) tuples;
+                # use the first rung's mu as the representation
+                while isinstance(mu, (tuple, list)):
+                    mu = mu[0]
                 return mu.reshape(mu.shape[0], -1)
 
             self._repr_fn_jit = _encode

@@ -75,10 +75,12 @@ def main():
     # example inputs (same seek as apply_action.py)
     batch = None
     for b in data.test_dataloader(0):
-        if batch is None or (b.get("mode") == "action"
-                             and batch.get("mode") != "action"):
+        if batch is None:
             batch = b
-        if batch.get("mode") == "action":
+        if b.get("mode") == "action":
+            batch = b
+            break
+        if "mode" not in b:       # plain dataset: every batch looks alike
             break
 
     B = args.batch
@@ -104,11 +106,17 @@ def main():
 
     names = (args.fns.split(",") if args.fns else available_fns(model))
     key = jax.random.PRNGKey(7)
+    if "labels" in init_kwargs:
+        # the sample entry point pairs each of the num_samples latents
+        # with a label row — tile the example labels to that length
+        lab = init_kwargs["labels"]
+        reps = -(-args.num_samples // lab.shape[0])           # ceil div
+        sample_labels = jnp.tile(lab, (reps, 1))[:args.num_samples]
     example_args = {
         "reconstruct": (key, x, init_kwargs["labels"])
         if "labels" in init_kwargs else (key, x),
         "encode": (key, x),
-        "sample": (key, init_kwargs["labels"])
+        "sample": (key, sample_labels)
         if "labels" in init_kwargs else (key,),
         "apply_action": (key, x, init_kwargs.get("input_y", x),
                          init_kwargs.get("action")),

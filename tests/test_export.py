@@ -140,6 +140,30 @@ def test_conditional_vae_needs_labels(tmp_path):
                                rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.parametrize("name,kw", [
+    ("HVAE", dict(latent1_dim=8, latent2_dim=4, hidden_dims=(8, 16),
+                  img_size=16)),
+    ("LVAE", dict(latent_dims=(4, 8), hidden_dims=(8, 16), img_size=16)),
+])
+def test_encode_export_stochastic_and_ladder(tmp_path, name, kw):
+    """HVAE's encode draws an rng sample; LVAE's returns per-rung (mu,
+    log_var) tuples — the encode entry point must handle both (it derives
+    rng streams from the key and unwraps to the first array)."""
+    model = vae_models[name](in_channels=3, **kw)
+    x = jnp.asarray(np.random.default_rng(4)
+                    .uniform(size=(2, 16, 16, 3)).astype(np.float32))
+    variables = model.init(RNGS, x, train=False)
+    key = jax.random.PRNGKey(13)
+    fn = make_inference_fn(model, variables, "encode")
+    exp = export_fn(fn, (key, x), platforms=("cpu",))
+    out = save_artifact(str(tmp_path / "art"), {"encode": exp})
+    fns, _ = load_artifact(out)
+    got = np.asarray(fns["encode"](key, x))
+    assert got.ndim == 2 and got.shape[0] == 2
+    np.testing.assert_allclose(got, np.asarray(fn(key, x)),
+                               rtol=1e-4, atol=1e-5)
+
+
 def test_spmd_artifact_over_8_device_mesh(tmp_path):
     """Pod-scale serving: export CT classify_action SPMD over the 8-device
     mesh (batch sharded on the data axis, key replicated); the deserialized
