@@ -19,6 +19,7 @@ from __future__ import annotations
 from typing import Any, Dict, List, Optional
 
 import jax
+import jax.numpy as jnp
 import optax
 
 
@@ -48,21 +49,48 @@ def _exp_schedule(lr: float, gamma: float, steps_per_epoch: int):
         staircase=True)
 
 
+def clip_grad_norm(max_norm: float) -> optax.GradientTransformation:
+    """torch ``clip_grad_norm_`` semantics — the PL Trainer's
+    ``gradient_clip_val`` knob, shipped by the reference's gammavae and
+    infovae configs (/root/reference/configs/gammavae.yaml:22): scale
+    every gradient by ``max_norm / (total_norm + 1e-6)`` when that
+    factor is < 1. Differs from ``optax.clip_by_global_norm`` in the
+    torch-default ``+1e-6`` denominator."""
+    def init_fn(params):
+        del params
+        return optax.EmptyState()
+
+    def update_fn(updates, state, params=None):
+        del params
+        leaves = jax.tree_util.tree_leaves(updates)
+        total = jnp.sqrt(sum(jnp.sum(jnp.square(g)) for g in leaves))
+        coef = jnp.minimum(max_norm / (total + 1e-6), 1.0)
+        return jax.tree_util.tree_map(lambda g: g * coef, updates), state
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
 def _adam(lr: float, weight_decay: float, gamma: Optional[float],
-          steps_per_epoch: int) -> optax.GradientTransformation:
+          steps_per_epoch: int,
+          clip: Optional[float] = None) -> optax.GradientTransformation:
     if gamma is not None:
         schedule = _exp_schedule(lr, gamma, steps_per_epoch)
     else:
         schedule = lr
+    chain = []
+    if clip:
+        # PL clips raw gradients BEFORE the optimizer step, so the clip
+        # precedes the coupled-L2 weight-decay addition.
+        chain.append(clip_grad_norm(clip))
     if weight_decay:
         # torch ``Adam(weight_decay=wd)`` is *coupled* L2: ``wd * param``
         # is added to the gradient BEFORE the moment updates
         # (/root/reference/experiment.py:154-156 uses torch.optim.Adam,
         # not AdamW). optax.adamw would decay *after* normalization —
         # a silent semantic divergence — so chain the decay in front.
-        return optax.chain(optax.add_decayed_weights(weight_decay),
-                           optax.adam(schedule))
-    return optax.adam(schedule)
+        chain.append(optax.add_decayed_weights(weight_decay))
+    chain.append(optax.adam(schedule))
+    return chain[0] if len(chain) == 1 else optax.chain(*chain)
 
 
 def build_lr_schedules(exp_params: Dict[str, Any],
@@ -92,8 +120,11 @@ def build_optimizers(
     weight_decay = exp_params.get("weight_decay", 0.0)
     gamma = exp_params.get("scheduler_gamma")
     update_parameters = exp_params.get("update_parameters")
+    # PL Trainer knob (run.py forwards it from trainer_params); clipping
+    # is global over the model like torch clip_grad_norm_
+    clip = exp_params.get("gradient_clip_val")
 
-    tx = _adam(lr, weight_decay, gamma, steps_per_epoch)
+    tx = _adam(lr, weight_decay, gamma, steps_per_epoch, clip=clip)
     if update_parameters is not None:
         mask = _subtree_mask(params, update_parameters)
         tx = optax.chain(
@@ -107,7 +138,8 @@ def build_optimizers(
     if exp_params.get("LR_2") is not None:
         submodel = exp_params.get("submodel")
         gamma2 = exp_params.get("scheduler_gamma_2")
-        tx2 = _adam(exp_params["LR_2"], 0.0, gamma2, steps_per_epoch)
+        tx2 = _adam(exp_params["LR_2"], 0.0, gamma2, steps_per_epoch,
+                    clip=clip)
         if submodel is not None:
             mask2 = _subtree_mask(params, submodel)
             tx2 = optax.chain(

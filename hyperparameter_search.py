@@ -91,7 +91,13 @@ def run_trial(trial_config: Dict[str, Any], trial_id: int,
     model = build_model(trial_config["model_params"])
     data = VAEDataset(**trial_config["data_params"])
     data.setup()
-    exp = VAEXperiment(model, trial_config["exp_params"], data)
+    # route the PL Trainer-level clip knob to the optimizer chain, like
+    # run.py does
+    exp_params = dict(trial_config["exp_params"])
+    gcv = trial_config["trainer_params"].get("gradient_clip_val")
+    if gcv is not None:
+        exp_params.setdefault("gradient_clip_val", gcv)
+    exp = VAEXperiment(model, exp_params, data)
     max_epochs = int(trial_config["trainer_params"].get("max_epochs", 10))
     final = exp.fit(max_epochs,
                     seed=int(trial_config["exp_params"].get(

@@ -57,6 +57,13 @@ def main():
     model_params = config.get("model_params", {})
     data_params = dict(config.get("data_params", {}))
 
+    # gradient_clip_val is a PL *Trainer* knob in the reference YAMLs
+    # (configs/gammavae.yaml:22, infovae.yaml) — route it to the
+    # optimizer chain, which owns clipping here.
+    if "gradient_clip_val" in trainer_params:
+        exp_params.setdefault("gradient_clip_val",
+                              trainer_params.pop("gradient_clip_val"))
+
     seed = int(exp_params.get("manual_seed", 1265))
     np.random.seed(seed)
 

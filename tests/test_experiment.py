@@ -209,6 +209,46 @@ def test_adam_weight_decay_matches_torch_coupled_l2():
                                tp.detach().numpy(), rtol=2e-5, atol=2e-6)
 
 
+def test_gradient_clip_val_matches_torch_clip_grad_norm():
+    """trainer_params.gradient_clip_val (shipped by the reference's
+    gammavae/infovae configs) must reproduce PL's behavior — torch
+    ``clip_grad_norm_(max_norm)`` on the raw gradients before the Adam
+    step, incl. the +1e-6 denominator — over a trajectory that engages
+    both the clipped and unclipped branches."""
+    import jax.numpy as jnp
+    import optax
+    import torch
+
+    from ctvae_tpu.training.optimizers import build_optimizers
+
+    lr, max_norm = 0.01, 0.8
+    init = np.array([0.5, -1.2, 2.0, 0.03], np.float64)
+    rs = np.random.RandomState(1)
+    # alternate large grads (clipped) and tiny grads (coef > 1, no-op)
+    grads = [g * (5.0 if i % 2 == 0 else 0.01)
+             for i, g in enumerate(rs.randn(6, 4))]
+
+    tp = torch.nn.Parameter(torch.tensor(init))
+    topt = torch.optim.Adam([tp], lr=lr)
+    for g in grads:
+        topt.zero_grad()
+        tp.grad = torch.tensor(g)
+        torch.nn.utils.clip_grad_norm_([tp], max_norm)
+        topt.step()
+
+    params = {"w": jnp.asarray(init, jnp.float32)}
+    tx = build_optimizers({"LR": lr, "gradient_clip_val": max_norm},
+                          params)[0]
+    st = tx.init(params)
+    for g in grads:
+        updates, st = tx.update({"w": jnp.asarray(g, jnp.float32)}, st,
+                                params)
+        params = optax.apply_updates(params, updates)
+
+    np.testing.assert_allclose(np.asarray(params["w"]),
+                               tp.detach().numpy(), rtol=2e-5, atol=2e-6)
+
+
 def test_scheduler_gamma_zero_matches_torch_semantics():
     """scheduler_gamma: 0.0 (the reference VQVAE config quirk,
     /root/reference/configs/vq_vae.yaml:20) must kill the LR from the
