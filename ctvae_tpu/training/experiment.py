@@ -43,6 +43,22 @@ def _has_modes(model: BaseVAE) -> bool:
     return hasattr(type(model), "FORWARD_MODES")
 
 
+def install_preemption_handler(experiment: "VAEXperiment",
+                               signals=None) -> None:
+    """Route SIGTERM (the preemption notice on preemptible TPU VMs) to a
+    graceful checkpoint-and-exit at the next epoch boundary. The
+    reference has no recovery path at all (SURVEY.md §5: recovery =
+    restart from checkpoint by hand)."""
+    import signal as _signal
+
+    def _handler(signum, frame):
+        del signum, frame
+        experiment.request_stop()
+
+    for s in (signals or (_signal.SIGTERM,)):
+        _signal.signal(s, _handler)
+
+
 class VAEXperiment:
 
     def __init__(self, model: BaseVAE, exp_params: Dict[str, Any],
@@ -70,6 +86,9 @@ class VAEXperiment:
         # resumed run trains to max_epochs TOTAL, like PL's
         # resume_from_checkpoint (/root/reference/run.py:91-101)
         self.start_epoch = 0
+        # graceful-preemption flag (TPU VMs get SIGTERM before eviction);
+        # set by request_stop(), honored at the next epoch boundary
+        self._stop_requested = False
 
     # -- setup -----------------------------------------------------------
 
@@ -214,6 +233,15 @@ class VAEXperiment:
             train_metrics = self.train_epoch(epoch)
             if profile_dir and epoch == 0:
                 jax.profiler.stop_trace()
+            if self._stop_requested:
+                # preemption: persist a resumable 'last' checkpoint and
+                # leave — restore_full_state continues from this epoch
+                if self.ckpt is not None:
+                    self.ckpt.save(self.state, self.global_step)
+                print(f"=> stop requested: saved checkpoint at step "
+                      f"{self.global_step} (epoch {epoch}); resume with "
+                      f"trainer_params.resume_from_checkpoint")
+                break
             val = self.validate(epoch)
             if sample_dir is not None:
                 try:
@@ -225,6 +253,11 @@ class VAEXperiment:
             if self.logger is not None:
                 self.logger.tb.add_scalar("epoch", epoch, self.global_step)
         return val
+
+    def request_stop(self) -> None:
+        """Ask ``fit`` to checkpoint and exit at the next epoch boundary
+        (signal-safe: only sets a flag)."""
+        self._stop_requested = True
 
     # -- representation fn (reference experiment.py:81-85) --------------
 

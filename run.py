@@ -48,7 +48,7 @@ def main():
     from ctvae_tpu.data import VAEDataset
     from ctvae_tpu.metrics import MetricSet
     from ctvae_tpu.models import build_model
-    from ctvae_tpu.training import VAEXperiment
+    from ctvae_tpu.training import VAEXperiment, install_preemption_handler
     from ctvae_tpu.utils import CheckpointManager, ExperimentLogger
 
     exp_params = config.get("exp_params", {})
@@ -96,6 +96,9 @@ def main():
 
     experiment = VAEXperiment(model, exp_params, data, logger=logger,
                               ckpt_manager=ckpt, val_metrics=val_metrics)
+    # preemptible TPU VMs get SIGTERM before eviction: checkpoint + exit
+    # cleanly, resumable via trainer_params.resume_from_checkpoint
+    install_preemption_handler(experiment)
 
     for sub in ("Inputs", "Samples", "Reconstructions"):
         os.makedirs(os.path.join(logger.log_dir, sub), exist_ok=True)

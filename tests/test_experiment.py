@@ -209,6 +209,53 @@ def test_adam_weight_decay_matches_torch_coupled_l2():
                                tp.detach().numpy(), rtol=2e-5, atol=2e-6)
 
 
+def test_preemption_checkpoints_and_resumes(tmp_path):
+    """SIGTERM-style preemption: request_stop() mid-fit must write a
+    resumable 'last' checkpoint, break the epoch loop, and a full-state
+    resume must continue to max_epochs TOTAL from the stop epoch. The
+    reference has no recovery path (SURVEY.md §5)."""
+    import signal
+
+    exp, ckpt = _tiny_experiment(tmp_path)
+
+    # stop after the first epoch's training pass
+    orig = exp.train_epoch
+    epochs_run = []
+
+    def train_and_stop(epoch):
+        out = orig(epoch)
+        epochs_run.append(epoch)
+        exp.request_stop()
+        return out
+
+    exp.train_epoch = train_and_stop
+    exp.fit(max_epochs=4)
+    assert epochs_run == [0]                 # broke out after epoch 0
+    assert os.path.isdir(os.path.join(ckpt.dir, "last"))
+
+    # resume: trains the REMAINING epochs (1..3), like PL
+    exp2, _ = _tiny_experiment(tmp_path / "resume")
+    first = next(iter(exp2.data.train_dataloader(0)))
+    exp2.setup(first)
+    exp2.ckpt = ckpt                         # point restore at stage-1 dir
+    exp2.restore_full_state("last")
+    assert exp2.start_epoch == 1
+    val = exp2.fit(max_epochs=3)
+    assert np.isfinite(val["val_loss"])
+
+    # the signal handler itself: SIGTERM sets the flag, nothing dies
+    from ctvae_tpu.training import install_preemption_handler
+    exp3, _ = _tiny_experiment(tmp_path / "sig")
+    install_preemption_handler(exp3)
+    os.kill(os.getpid(), signal.SIGTERM)
+    # the handler runs at the next bytecode boundary in the main thread
+    for _ in range(1000):
+        if exp3._stop_requested:
+            break
+    assert exp3._stop_requested
+    signal.signal(signal.SIGTERM, signal.SIG_DFL)
+
+
 def test_gradient_clip_val_matches_torch_clip_grad_norm():
     """trainer_params.gradient_clip_val (shipped by the reference's
     gammavae/infovae configs) must reproduce PL's behavior — torch
