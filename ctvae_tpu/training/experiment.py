@@ -252,6 +252,11 @@ class VAEXperiment:
                 self.ckpt.save(self.state, self.global_step, metrics=val)
             if self.logger is not None:
                 self.logger.tb.add_scalar("epoch", epoch, self.global_step)
+                self.logger.tb.add_scalar(
+                    "images_per_sec", train_metrics["images_per_sec"],
+                    self.global_step)
+        if self.ckpt is not None:
+            self.ckpt.wait()   # async mode: join the final in-flight write
         return val
 
     def request_stop(self) -> None:

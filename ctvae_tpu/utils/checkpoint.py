@@ -15,6 +15,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import threading
 from typing import Any, Dict, Optional
 
 import jax
@@ -31,10 +32,18 @@ class CheckpointManager:
     ``top_k`` by a monitored scalar (lower is better) plus ``last``."""
 
     def __init__(self, ckpt_dir: str, top_k: int = 2,
-                 monitor: str = "val_Reconstruction_Loss"):
+                 monitor: str = "val_Reconstruction_Loss",
+                 async_save: bool = False):
         self.dir = os.path.abspath(ckpt_dir)
         self.top_k = top_k
         self.monitor = monitor
+        # async_save overlaps the disk write with the next training
+        # epoch: save() snapshots device state to host (donation-safe),
+        # then writes on a background thread. wait() joins the in-flight
+        # write; restore() waits implicitly. Writes are serialized, so
+        # the on-disk layout is identical to sync mode.
+        self.async_save = async_save
+        self._pending: Optional[threading.Thread] = None
         os.makedirs(self.dir, exist_ok=True)
         self._index_path = os.path.join(self.dir, "index.json")
         self._index = self._load_index()
@@ -51,10 +60,28 @@ class CheckpointManager:
 
     # -- save ------------------------------------------------------------
 
+    def wait(self) -> None:
+        """Join any in-flight async write."""
+        if self._pending is not None:
+            self._pending.join()
+            self._pending = None
+
     def save(self, state, step: int,
              metrics: Optional[Dict[str, float]] = None) -> None:
+        host_state = jax.device_get(state)   # block: caller may donate
+        self.wait()                          # serialize writes
+        if self.async_save:
+            t = threading.Thread(target=self._write,
+                                 args=(host_state, step, metrics),
+                                 daemon=True)
+            t.start()
+            self._pending = t
+        else:
+            self._write(host_state, step, metrics)
+
+    def _write(self, host_state, step: int,
+               metrics: Optional[Dict[str, float]]) -> None:
         ckpt = _checkpointer()
-        host_state = jax.device_get(state)
         last = os.path.join(self.dir, "last")
         if os.path.exists(last):
             shutil.rmtree(last)
@@ -81,6 +108,7 @@ class CheckpointManager:
 
     def restore(self, target, which: str = "last"):
         """Full-state restore: ``which`` is 'last', 'best', or a path."""
+        self.wait()
         path = {"last": os.path.join(self.dir, "last"),
                 "best": self._index["best"][0]["path"]
                 if self._index["best"] else None}.get(which, which)

@@ -91,8 +91,10 @@ def main():
                                     "val_batch_size", 64)))
 
     ckpt_dir = os.path.join(logger.log_dir, "checkpoints")
-    ckpt = CheckpointManager(ckpt_dir, top_k=2,
-                             monitor="val_Reconstruction_Loss")
+    ckpt = CheckpointManager(
+        ckpt_dir, top_k=2, monitor="val_Reconstruction_Loss",
+        # overlap checkpoint writes with the next epoch's compute
+        async_save=bool(exp_params.get("async_checkpointing", False)))
 
     experiment = VAEXperiment(model, exp_params, data, logger=logger,
                               ckpt_manager=ckpt, val_metrics=val_metrics)

@@ -209,6 +209,40 @@ def test_adam_weight_decay_matches_torch_coupled_l2():
                                tp.detach().numpy(), rtol=2e-5, atol=2e-6)
 
 
+def test_async_checkpointing_matches_sync(tmp_path):
+    """async_save overlaps the disk write with training; the on-disk
+    result (last + top-k index) must be identical to sync mode, wait()
+    must join the in-flight write, and restore() must never race it."""
+    from ctvae_tpu.utils import CheckpointManager
+
+    state = {"params": {"w": np.arange(8, dtype=np.float32)},
+             "step": np.int32(5)}
+
+    sync = CheckpointManager(str(tmp_path / "sync"), top_k=1)
+    sync.save(state, 5, metrics={"val_Reconstruction_Loss": 0.5})
+
+    asy = CheckpointManager(str(tmp_path / "async"), top_k=1,
+                            async_save=True)
+    asy.save(state, 5, metrics={"val_Reconstruction_Loss": 0.5})
+    # second save must serialize behind the first
+    state2 = {"params": {"w": np.arange(8, dtype=np.float32) * 2},
+              "step": np.int32(9)}
+    asy.save(state2, 9, metrics={"val_Reconstruction_Loss": 0.25})
+    asy.wait()
+
+    with open(os.path.join(asy.dir, "index.json")) as f:
+        idx = json.load(f)
+    assert [e["step"] for e in idx["best"]] == [9]
+    got = asy.restore(state, which="last")
+    np.testing.assert_array_equal(got["params"]["w"],
+                                  state2["params"]["w"])
+    # restore without an explicit wait() also works (implicit join)
+    asy.save(state, 11)
+    got = asy.restore(state, which="last")
+    np.testing.assert_array_equal(got["params"]["w"],
+                                  state["params"]["w"])
+
+
 def test_preemption_checkpoints_and_resumes(tmp_path):
     """SIGTERM-style preemption: request_stop() mid-fit must write a
     resumable 'last' checkpoint, break the epoch loop, and a full-state
