@@ -91,6 +91,35 @@ def test_two_stage_recipe_and_apply_action(tmp_path, monkeypatch, capsys):
     assert len(navs) == 3             # x, 1 intermediate, y
 
 
+def test_run_cli_disentanglement_metrics_wiring(tmp_path, monkeypatch,
+                                                capsys):
+    """exp_params.metrics must flow run.py -> MetricSet over the raw
+    factor dataset -> val_<Metric> keys in validation output (the
+    reference's run.py:66-76 wiring) — the metric math itself is pinned
+    in test_metrics.py; this certifies the CLI plumbing."""
+    tmp = str(tmp_path)
+    logdir = os.path.join(tmp, "logs")
+    cfg = {
+        "model_params": {"name": "VanillaVAE", "in_channels": 3,
+                         "latent_dim": 4, "img_size": 16,
+                         "hidden_dims": [8, 16]},
+        "data_params": {"data_path": "", "dataset_name": "Synthetic",
+                        "train_batch_size": 8, "val_batch_size": 8,
+                        "patch_size": 16, "limit": 16, "val_limit": 8},
+        "exp_params": {"LR": 0.001, "kld_weight": 0.005, "manual_seed": 1,
+                       "metrics": ["MIG"]},
+        "trainer_params": {"max_epochs": 1},
+        "logging_params": {"save_dir": logdir, "name": "vv_metrics"},
+    }
+    path = os.path.join(tmp, "cfg.yaml")
+    with open(path, "w") as f:
+        yaml.safe_dump(cfg, f)
+    out = _main_inprocess(monkeypatch, capsys, "run", ["-c", path])
+    # disent-style metric keys, exactly what the reference logs
+    # (metrics/metric.py returns e.g. {"mig.discrete_score": ...})
+    assert "val_mig.discrete_score" in out, out
+
+
 @pytest.mark.slow
 def test_run_cli_subprocess_smoke(tmp_path):
     """The actual ``python run.py`` exec path must be hermetic under
