@@ -227,37 +227,57 @@ class VAEXperiment:
         # reference's torchviz graph dump (SURVEY.md §5).
         profile_dir = self.params.get("profile")
         val = {}
-        for epoch in range(self.start_epoch, max_epochs):
-            if profile_dir and epoch == 0:
-                jax.profiler.start_trace(str(profile_dir))
-            train_metrics = self.train_epoch(epoch)
-            if profile_dir and epoch == 0:
-                jax.profiler.stop_trace()
-            if self._stop_requested:
-                # preemption: persist a resumable 'last' checkpoint and
-                # leave — restore_full_state continues from this epoch
+        try:
+            for epoch in range(self.start_epoch, max_epochs):
+                if profile_dir and epoch == 0:
+                    jax.profiler.start_trace(str(profile_dir))
+                train_metrics = self.train_epoch(epoch)
+                if profile_dir and epoch == 0:
+                    jax.profiler.stop_trace()
+                if self._global_stop():
+                    # preemption: persist a resumable 'last' checkpoint
+                    # and leave — restore_full_state continues from here
+                    if self.ckpt is not None:
+                        self.ckpt.save(self.state, self.global_step)
+                        self.ckpt.wait()   # the grace period is finite:
+                        # only claim success once the write is on disk
+                    print(f"=> stop requested: saved checkpoint at step "
+                          f"{self.global_step} (epoch {epoch}); resume "
+                          f"with trainer_params.resume_from_checkpoint")
+                    break
+                val = self.validate(epoch)
+                if sample_dir is not None:
+                    try:
+                        self.sample_images(sample_dir, epoch)
+                    except NotImplementedError:
+                        pass
                 if self.ckpt is not None:
-                    self.ckpt.save(self.state, self.global_step)
-                print(f"=> stop requested: saved checkpoint at step "
-                      f"{self.global_step} (epoch {epoch}); resume with "
-                      f"trainer_params.resume_from_checkpoint")
-                break
-            val = self.validate(epoch)
-            if sample_dir is not None:
-                try:
-                    self.sample_images(sample_dir, epoch)
-                except NotImplementedError:
-                    pass
+                    self.ckpt.save(self.state, self.global_step,
+                                   metrics=val)
+                if self.logger is not None:
+                    self.logger.tb.add_scalar("epoch", epoch,
+                                              self.global_step)
+                    self.logger.tb.add_scalar(
+                        "images_per_sec",
+                        train_metrics["images_per_sec"], self.global_step)
+        finally:
             if self.ckpt is not None:
-                self.ckpt.save(self.state, self.global_step, metrics=val)
-            if self.logger is not None:
-                self.logger.tb.add_scalar("epoch", epoch, self.global_step)
-                self.logger.tb.add_scalar(
-                    "images_per_sec", train_metrics["images_per_sec"],
-                    self.global_step)
-        if self.ckpt is not None:
-            self.ckpt.wait()   # async mode: join the final in-flight write
+                # async mode: join the in-flight write even when the
+                # loop raises — never exit with a half-written 'last'
+                self.ckpt.wait()
         return val
+
+    def _global_stop(self) -> bool:
+        """Multi-host: every process must take the same branch at the
+        epoch boundary (a lone host breaking out would strand the others
+        in a collective), so the local stop flags are OR-reduced across
+        processes before acting."""
+        if jax.process_count() == 1:
+            return self._stop_requested
+        from jax.experimental import multihost_utils
+        flags = multihost_utils.process_allgather(
+            np.asarray([1.0 if self._stop_requested else 0.0], np.float32))
+        return bool(np.max(flags) > 0)
 
     def request_stop(self) -> None:
         """Ask ``fit`` to checkpoint and exit at the next epoch boundary

@@ -120,8 +120,13 @@ def build_optimizers(
     weight_decay = exp_params.get("weight_decay", 0.0)
     gamma = exp_params.get("scheduler_gamma")
     update_parameters = exp_params.get("update_parameters")
-    # PL Trainer knob (run.py forwards it from trainer_params); clipping
-    # is global over the model like torch clip_grad_norm_
+    # PL Trainer knob (run.py forwards it from trainer_params). Scope is
+    # PER-OPTIMIZER, exactly like PL: Lightning clips each optimizer's
+    # param groups, and with update_parameters/submodel the reference's
+    # optimizer holds ONLY that submodule's params
+    # (/root/reference/experiment.py:157,165) — so clipping inside the
+    # optax.masked chain (norm over the trainable subtree) is the
+    # faithful semantics, not a deviation.
     clip = exp_params.get("gradient_clip_val")
 
     tx = _adam(lr, weight_decay, gamma, steps_per_epoch, clip=clip)

@@ -44,6 +44,7 @@ class CheckpointManager:
         # the on-disk layout is identical to sync mode.
         self.async_save = async_save
         self._pending: Optional[threading.Thread] = None
+        self._pending_exc: Optional[BaseException] = None
         os.makedirs(self.dir, exist_ok=True)
         self._index_path = os.path.join(self.dir, "index.json")
         self._index = self._load_index()
@@ -61,19 +62,28 @@ class CheckpointManager:
     # -- save ------------------------------------------------------------
 
     def wait(self) -> None:
-        """Join any in-flight async write."""
+        """Join any in-flight async write; re-raise its exception (a
+        silently-failed checkpoint must not read as success)."""
         if self._pending is not None:
             self._pending.join()
             self._pending = None
+        if self._pending_exc is not None:
+            exc, self._pending_exc = self._pending_exc, None
+            raise exc
 
     def save(self, state, step: int,
              metrics: Optional[Dict[str, float]] = None) -> None:
         host_state = jax.device_get(state)   # block: caller may donate
         self.wait()                          # serialize writes
         if self.async_save:
-            t = threading.Thread(target=self._write,
-                                 args=(host_state, step, metrics),
-                                 daemon=True)
+            def _guarded():
+                try:
+                    self._write(host_state, step, metrics)
+                except BaseException as e:   # surfaced by the next wait()
+                    self._pending_exc = e
+            # non-daemon: the interpreter joins it at shutdown, so a
+            # crash elsewhere cannot cut the write off mid-rmtree/save
+            t = threading.Thread(target=_guarded, daemon=False)
             t.start()
             self._pending = t
         else:

@@ -51,7 +51,9 @@ def main():
     from ctvae_tpu.training import VAEXperiment, install_preemption_handler
     from ctvae_tpu.utils import CheckpointManager, ExperimentLogger
 
-    exp_params = config.get("exp_params", {})
+    # copies: the knob routing below must not mutate the config dict the
+    # logger records as hparams
+    exp_params = dict(config.get("exp_params", {}))
     trainer_params = dict(config.get("trainer_params", {}))
     logging_params = config.get("logging_params", {})
     model_params = config.get("model_params", {})

@@ -242,6 +242,17 @@ def test_async_checkpointing_matches_sync(tmp_path):
     np.testing.assert_array_equal(got["params"]["w"],
                                   state["params"]["w"])
 
+    # a failed background write must surface at the next wait(), not
+    # read as success
+    def boom(host_state, step, metrics):
+        raise RuntimeError("disk full")
+
+    asy._write = boom
+    asy.save(state, 12)
+    with pytest.raises(RuntimeError, match="disk full"):
+        asy.wait()
+    asy.wait()  # the exception is raised once, then cleared
+
 
 def test_preemption_checkpoints_and_resumes(tmp_path):
     """SIGTERM-style preemption: request_stop() mid-fit must write a
