@@ -1,14 +1,32 @@
 """Native disentanglement metrics: DCI, MIG, SAP, FactorVAE score.
 
 The reference wraps the ``disent`` library's implementations
-(/root/reference/metrics/metric.py:8-14). These are self-contained
-re-implementations of the same published metrics (sklearn + numpy),
-operating on any dataset exposing ``factor_sizes`` and a way to fetch
-observations for sampled factor combinations.
+(/root/reference/metrics/metric.py:8-14), which are themselves ports of
+Google's ``disentanglement_lib`` evaluation metrics. These are
+self-contained re-implementations of the published algorithms
+(sklearn + numpy), matched to ``disentanglement_lib``'s semantics
+per-metric:
 
-The representation function contract matches the reference
-(``experiment.py:81-85``): a callable mapping a batch of observations
-[B, H, W, C] to codes [B, D].
+* MIG (``evaluation/metrics/mig.py``): 20-bin histogram discretization,
+  discrete mutual information, mean over factors of the top-1/top-2 MI
+  gap normalized by the factor entropy.
+* SAP (``evaluation/metrics/sap_score.py``, discrete branch):
+  one-latent classifiers ``LinearSVC(C=0.01, class_weight="balanced")``
+  scored by test accuracy; mean over factors of the top-1/top-2 gap.
+* DCI (``evaluation/metrics/dci.py``): per-factor gradient-boosted-tree
+  importances (sklearn defaults), entropy-based disentanglement /
+  completeness, train/test informativeness accuracies.
+* FactorVAE score (``evaluation/metrics/factor_vae.py``): global
+  variances from ``num_variance_estimate`` samples, collapsed dims
+  pruned at std >= 0.05 (the published ``prune_dims.threshold`` gin
+  config), then ONE majority vote per training/eval point — each vote
+  is the argmin over active dims of (local variance of a fixed-factor
+  batch) / (global variance).
+
+Operates on any dataset exposing ``factor_sizes`` and a way to fetch
+observations for sampled factor combinations. The representation
+function contract matches the reference (``experiment.py:81-85``): a
+callable mapping a batch of observations [B, H, W, C] to codes [B, D].
 """
 
 from __future__ import annotations
@@ -142,7 +160,9 @@ def metric_sap(sampler: GroundTruthSampler, repr_fn: ReprFn,
         for j in range(F):
             if len(np.unique(f_tr[:, j])) < 2:
                 continue
-            clf = LinearSVC(C=0.01, dual="auto", max_iter=2000)
+            # discrete-factor branch of disentanglement_lib sap_score.py
+            clf = LinearSVC(C=0.01, class_weight="balanced", dual="auto",
+                            max_iter=2000)
             clf.fit(x_tr, f_tr[:, j])
             score[i, j] = np.mean(clf.predict(x_te) == f_te[:, j])
     sorted_s = np.sort(score, axis=0)[::-1]
@@ -153,25 +173,9 @@ def metric_sap(sampler: GroundTruthSampler, repr_fn: ReprFn,
 # DCI
 # ---------------------------------------------------------------------------
 
-def metric_dci(sampler: GroundTruthSampler, repr_fn: ReprFn,
-               num_train: int = 1000, num_test: int = 500,
-               batch_size: int = 64, **kwargs) -> Dict[str, float]:
-    from sklearn.ensemble import GradientBoostingClassifier
-    f_tr, z_tr = _collect(sampler, repr_fn, num_train, batch_size)
-    f_te, z_te = _collect(sampler, repr_fn, num_test, batch_size)
-    D, F = z_tr.shape[1], f_tr.shape[1]
-    importance = np.zeros((D, F))
-    acc_tr, acc_te = [], []
-    for j in range(F):
-        if len(np.unique(f_tr[:, j])) < 2:
-            acc_tr.append(1.0)
-            acc_te.append(1.0)
-            continue
-        clf = GradientBoostingClassifier(n_estimators=10, max_depth=3)
-        clf.fit(z_tr, f_tr[:, j])
-        importance[:, j] = clf.feature_importances_
-        acc_tr.append(float(np.mean(clf.predict(z_tr) == f_tr[:, j])))
-        acc_te.append(float(np.mean(clf.predict(z_te) == f_te[:, j])))
+def _dci_scores(importance: Array) -> Tuple[float, float]:
+    """Entropy-based disentanglement/completeness of a [D codes, F
+    factors] importance matrix (disentanglement_lib dci.py)."""
 
     def _entropy_rows(p, axis):
         p = p / np.maximum(p.sum(axis=axis, keepdims=True), 1e-11)
@@ -184,6 +188,35 @@ def metric_dci(sampler: GroundTruthSampler, repr_fn: ReprFn,
     weights = code_importance / np.maximum(code_importance.sum(), 1e-11)
     disentanglement = float(np.sum(disent_per_code * weights))
     completeness = float(np.mean(_entropy_rows(importance, axis=0)))
+    return disentanglement, completeness
+
+
+def metric_dci(sampler: GroundTruthSampler, repr_fn: ReprFn,
+               num_train: int = 1000, num_test: int = 500,
+               batch_size: int = 64, n_estimators: int = 100,
+               max_depth: int = 3, **kwargs) -> Dict[str, float]:
+    # disentanglement_lib dci.py uses sklearn's default
+    # GradientBoostingClassifier (100 trees, depth 3); keep those
+    # defaults, overridable for cheap smoke runs.
+    from sklearn.ensemble import GradientBoostingClassifier
+    f_tr, z_tr = _collect(sampler, repr_fn, num_train, batch_size)
+    f_te, z_te = _collect(sampler, repr_fn, num_test, batch_size)
+    D, F = z_tr.shape[1], f_tr.shape[1]
+    importance = np.zeros((D, F))
+    acc_tr, acc_te = [], []
+    for j in range(F):
+        if len(np.unique(f_tr[:, j])) < 2:
+            acc_tr.append(1.0)
+            acc_te.append(1.0)
+            continue
+        clf = GradientBoostingClassifier(n_estimators=n_estimators,
+                                         max_depth=max_depth)
+        clf.fit(z_tr, f_tr[:, j])
+        importance[:, j] = np.abs(clf.feature_importances_)
+        acc_tr.append(float(np.mean(clf.predict(z_tr) == f_tr[:, j])))
+        acc_te.append(float(np.mean(clf.predict(z_te) == f_te[:, j])))
+
+    disentanglement, completeness = _dci_scores(importance)
     return {"dci.disentanglement": disentanglement,
             "dci.completeness": completeness,
             "dci.informativeness_train": float(np.mean(acc_tr)),
@@ -198,17 +231,22 @@ def metric_factor_vae(sampler: GroundTruthSampler, repr_fn: ReprFn,
                       num_train: int = 1000, num_eval: int = 500,
                       batch_size: int = 64,
                       num_variance_estimate: int = 512,
+                      prune_threshold: float = 0.05,
                       **kwargs) -> Dict[str, float]:
     _, x = sampler.sample(num_variance_estimate)
     z = np.asarray(repr_fn(x))
     global_var = np.var(z, axis=0, ddof=1)
-    active = global_var > 1e-6
+    # collapsed dims: std below the published prune_dims.threshold gin
+    # value (disentanglement_lib factor_vae.py::_prune_dims)
+    active = np.sqrt(global_var) >= prune_threshold
     if not np.any(active):
         return {"factor_vae.mean_accuracy": 0.0,
                 "factor_vae.eval_accuracy": 0.0,
                 "factor_vae.num_active_dims": 0}
 
     def vote(n):
+        # one vote per training/eval point, each from its own
+        # fixed-factor batch (factor_vae.py::_generate_training_batch)
         votes = np.zeros((len(sampler.factor_sizes), z.shape[1]), np.int64)
         for _ in range(n):
             j = int(sampler.rng.integers(0, len(sampler.factor_sizes)))
@@ -223,11 +261,11 @@ def metric_factor_vae(sampler: GroundTruthSampler, repr_fn: ReprFn,
             votes[j, argmin] += 1
         return votes
 
-    train_votes = vote(max(1, num_train // batch_size))
+    train_votes = vote(max(1, num_train))
     classifier = np.argmax(train_votes, axis=0)
     train_acc = train_votes[classifier, np.arange(z.shape[1])].sum() / \
         max(1, train_votes.sum())
-    eval_votes = vote(max(1, num_eval // batch_size))
+    eval_votes = vote(max(1, num_eval))
     eval_acc = eval_votes[classifier, np.arange(z.shape[1])].sum() / \
         max(1, eval_votes.sum())
     return {"factor_vae.mean_accuracy": float(train_acc),

@@ -52,6 +52,77 @@ def test_random_representation_scores_low():
     assert res["mig.discrete_score"] < 0.2, res
 
 
+def _one_factor_dataset(k=4):
+    grid = np.arange(k).reshape(-1, 1)
+    imgs = np.zeros((k, 8, 8, 1), np.float32)
+    imgs[:, 0, 0, 0] = grid[:, 0] / k
+    return ArrayFactorDataset(imgs, grid, (k,), data_dir="/nonexistent",
+                              base_folder="x", split="all",
+                              transform=lambda im: im)
+
+
+def test_mig_analytic_exact():
+    """z = (exact factor copy, constant): MI(z0,f)=H(f), MI(z1,f)=0, so
+    the normalized top-1/top-2 gap is exactly 1 (disentanglement_lib
+    mig.py semantics)."""
+    from ctvae_tpu.metrics.disentanglement import metric_mig
+
+    ds = _one_factor_dataset()
+    sampler = GroundTruthSampler(ds, rng=np.random.default_rng(0))
+
+    def repr_fn(x):
+        f = x[:, 0, 0, 0] * 4.0
+        return np.stack([f, np.zeros_like(f)], axis=1)
+
+    res = metric_mig(sampler, repr_fn, num_train=300, batch_size=50)
+    assert res["mig.discrete_score"] == pytest.approx(1.0, abs=1e-12)
+
+
+def test_dci_scores_golden():
+    """Entropy formulas on hand-built importance matrices: a permutation
+    matrix is perfectly disentangled AND complete; a uniform matrix is
+    neither (disentanglement_lib dci.py)."""
+    from ctvae_tpu.metrics.disentanglement import _dci_scores
+
+    d, c = _dci_scores(np.eye(4))
+    assert d == pytest.approx(1.0, abs=1e-9)
+    assert c == pytest.approx(1.0, abs=1e-9)
+    d, c = _dci_scores(np.full((4, 4), 0.25))
+    assert d == pytest.approx(0.0, abs=1e-9)
+    assert c == pytest.approx(0.0, abs=1e-9)
+    # scaling the matrix must not change either score
+    rng = np.random.default_rng(0)
+    m = rng.uniform(size=(5, 3))
+    assert _dci_scores(m) == pytest.approx(_dci_scores(m * 7.3))
+
+
+def test_factor_vae_one_vote_per_point():
+    """disentanglement_lib factor_vae.py casts ONE vote per train/eval
+    point, each from its own fixed-factor batch — so the sampler must
+    be hit num_train + num_eval times beyond the variance estimate, and
+    a perfect representation classifies every vote correctly."""
+    from ctvae_tpu.metrics.disentanglement import metric_factor_vae
+
+    ds = _grid_dataset()
+
+    class CountingSampler(GroundTruthSampler):
+        calls = 0
+
+        def observations_from_factors(self, factors):
+            CountingSampler.calls += 1
+            return super().observations_from_factors(factors)
+
+    sampler = CountingSampler(ds, rng=np.random.default_rng(0))
+    res = metric_factor_vae(sampler, _perfect_repr, num_train=7,
+                            num_eval=5, batch_size=8,
+                            num_variance_estimate=32)
+    # 1 call for the variance estimate + one per vote
+    assert CountingSampler.calls == 1 + 7 + 5
+    assert res["factor_vae.mean_accuracy"] == pytest.approx(1.0)
+    assert res["factor_vae.eval_accuracy"] == pytest.approx(1.0)
+    assert res["factor_vae.num_active_dims"] == 3
+
+
 def test_factor_to_index_row_major():
     ds = _grid_dataset()
     f = np.array([[1, 2, 3], [0, 0, 0], [3, 3, 3]])
