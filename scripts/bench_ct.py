@@ -9,8 +9,11 @@ matters (full-step wall time), not micro-benchmarks.
 Run: python scripts/bench_ct.py [batch] [mode]
 """
 
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..'))
 
 import jax
 import jax.numpy as jnp

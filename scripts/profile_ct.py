@@ -8,7 +8,10 @@ Run: python scripts/profile_ct.py [batch] [mode]
 import glob
 import gzip
 import json
+import os
 import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..'))
 from collections import defaultdict
 
 import jax
