@@ -50,6 +50,19 @@ class ConditionalVAE(BaseVAE):
         mu, log_var = self.head(feat)
         return [mu, log_var]
 
+    def encode_labeled(self, x: Array, labels: Array, *,
+                       train: bool = False):
+        """Label-conditioned encode from a *raw* image: embed the class
+        as an extra image channel (reference cvae.py:119-129), then run
+        the standard encoder. This is the entry point serving/metrics use
+        — plain ``encode`` expects the already-embedded 4-channel input.
+        """
+        y = upcast32(labels)
+        emb_class = self.embed_class(y).reshape(
+            -1, self.img_size, self.img_size, 1)
+        xin = jnp.concatenate([self.embed_data(x), emb_class], axis=-1)
+        return self.encode(xin, train=train)
+
     def decode(self, z: Array, *, train: bool = False) -> Array:
         hw = self._feat_hw
         x = self.decoder_input(z).reshape(z.shape[0], hw, hw, self._hdims[-1])
@@ -58,11 +71,7 @@ class ConditionalVAE(BaseVAE):
     def __call__(self, x: Array, labels: Array = None, *,
                  train: bool = False, **kwargs) -> ModelOutput:
         y = upcast32(labels)
-        emb_class = self.embed_class(y).reshape(
-            -1, self.img_size, self.img_size, 1)
-        emb_data = self.embed_data(x)
-        xin = jnp.concatenate([emb_data, emb_class], axis=-1)
-        mu, log_var = self.encode(xin, train=train)
+        mu, log_var = self.encode_labeled(x, y, train=train)
         if train:
             z = reparameterize(self.make_rng("reparam"), mu, log_var)
         else:

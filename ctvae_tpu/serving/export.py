@@ -92,18 +92,30 @@ def make_inference_fn(model, variables, name: str, *,
         return fn
 
     if name == "encode":
-        def fn(key, x):
-            # rngs are required by stochastic encoders (HVAE draws its z2
-            # sample inside encode); LVAE returns a list of (mu, log_var)
-            # rung tuples — unwrap to the first array like the metrics
-            # repr_fn does.
-            out = model.apply(variables, x, train=False,
-                              method=model.encode,
-                              rngs=_stream_rngs(key))
+        def _unwrap(out):
+            # LVAE returns a list of (mu, log_var) rung tuples — unwrap
+            # to the first array like the metrics repr_fn does.
             z = out[0]
             while isinstance(z, (tuple, list)):
                 z = z[0]
             return z.reshape(z.shape[0], -1)
+
+        if _needs_labels(model):
+            # ConditionalVAE's plain encode expects the label-embedded
+            # 4-channel input; serve the raw-image entry point instead.
+            def fn(key, x, labels):
+                out = model.apply(variables, x, labels, train=False,
+                                  method=model.encode_labeled,
+                                  rngs=_stream_rngs(key))
+                return _unwrap(out)
+        else:
+            def fn(key, x):
+                # rngs are required by stochastic encoders (HVAE draws
+                # its z2 sample inside encode).
+                out = model.apply(variables, x, train=False,
+                                  method=model.encode,
+                                  rngs=_stream_rngs(key))
+                return _unwrap(out)
         return fn
 
     if name == "sample":

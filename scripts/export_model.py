@@ -115,7 +115,8 @@ def main():
     example_args = {
         "reconstruct": (key, x, init_kwargs["labels"])
         if "labels" in init_kwargs else (key, x),
-        "encode": (key, x),
+        "encode": (key, x, init_kwargs["labels"])
+        if "labels" in init_kwargs else (key, x),
         "sample": (key, sample_labels)
         if "labels" in init_kwargs else (key,),
         "apply_action": (key, x, init_kwargs.get("input_y", x),
