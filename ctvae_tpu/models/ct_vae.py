@@ -141,19 +141,27 @@ class CausalTransition(nn.Module):
         mask = st_bernoulli_gumbel(self.make_rng("gumbel"), inter_masked)
         return mask[..., None]
 
-    def _compute_adj(self, latent: Array, action: Array, mask: Array) -> Array:
+    def _no_inter_scores(self, latent: Array) -> Array:
+        """Discoverer-0 (no-intervention) pairwise scores [B, S, S]."""
+        lat = latent.astype(self.dtype)
+        u0 = lat @ self.disc_w1l[0]
+        v0 = lat @ self.disc_w1r[0]
+        return pairwise_mlp_scores(
+            u0, v0, self.disc_w2[0, :, 0], self.disc_b2[0, 0],
+            self.disc_b1[0], block_rows=self.pairwise_block_rows)
+
+    def _compute_adj(self, latent: Array, action: Array, mask: Array,
+                     no_inter: Optional[Array] = None) -> Array:
         """Mask-mixed adjacency coefficients [B, S, S] (reference
         :140-177). Discoverer 0 scores the no-intervention graph for all
         samples; discoverer ``1 + argmax(action)`` scores each sample's
-        intervened graph."""
+        intervened graph. ``no_inter`` lets ``forward_transition`` pass
+        precomputed discoverer-0 scores (identical across its action
+        hypotheses) instead of rescoring them A times."""
         B = latent.shape[0]
         lat = latent.astype(self.dtype)
-        # no-intervention scores (shared params)
-        u0 = lat @ self.disc_w1l[0]
-        v0 = lat @ self.disc_w1r[0]
-        no_inter = pairwise_mlp_scores(
-            u0, v0, self.disc_w2[0, :, 0], self.disc_b2[0, 0],
-            self.disc_b1[0], block_rows=self.pairwise_block_rows)
+        if no_inter is None:
+            no_inter = self._no_inter_scores(latent)
         # per-sample discoverer selected by action id
         aid = 1 + jnp.argmax(action, axis=-1)                    # [B]
         w1l = self.disc_w1l[aid]                                 # [B, N, H]
@@ -261,13 +269,20 @@ class CausalTransition(nn.Module):
         return latent_y, ct_reg, {"ct_adjacency": jnp.mean(adjacency, axis=0)}
 
     def forward_action(self, latent: Array, action: Array, *,
-                       train: bool = False, **kwargs):
-        """Masked intervention (reference :259-278)."""
+                       train: bool = False, _pos_latent: Array = None,
+                       _no_inter: Array = None, **kwargs):
+        """Masked intervention (reference :259-278).
+
+        ``_pos_latent`` / ``_no_inter`` are ``forward_transition``'s
+        fast path: the A action hypotheses share one positionally-encoded
+        latent and one set of discoverer-0 scores (see there)."""
         B, S, N = latent.shape
         mask = self._compute_mask(latent, action, train=train)
-        pos_latent = self.pos_encoding(latent, train=train)
+        pos_latent = (self.pos_encoding(latent, train=train)
+                      if _pos_latent is None else _pos_latent)
 
-        adjacency = self._compute_adj(pos_latent, action, mask)
+        adjacency = self._compute_adj(pos_latent, action, mask,
+                                      no_inter=_no_inter)
         causal_graph = st_bernoulli_gumbel(self.make_rng("gumbel"), adjacency)
         weighted = adjacency * causal_graph
         latent_y = self._compute_y(pos_latent, action, weighted, mask,
@@ -282,14 +297,30 @@ class CausalTransition(nn.Module):
     def forward_transition(self, latent: Array, latent_y: Array, *,
                            train: bool = False, **kwargs):
         """Action classification: try all A actions at once, softmin of CE
-        distances (reference :282-295, vectorized over the action axis)."""
+        distances (reference :282-295, vectorized over the action axis).
+
+        The A hypotheses see the SAME input latent, so the positional
+        encoding (one dropout draw) and the discoverer-0 pairwise scores
+        are computed once on [B] and tiled — bit-identical in eval, and
+        common random numbers across hypotheses in training (lower
+        variance in the CE-distance comparison than independent draws);
+        only the per-action discoverers, masks, edge sampling and the GNN
+        run on the [A*B] virtual batch."""
         B, S, N = latent.shape
         A = self.action_dim
         actions = jnp.eye(A, dtype=latent.dtype)                  # [A, A]
         lat_rep = jnp.broadcast_to(latent[None], (A, B, S, N)).reshape(
             A * B, S, N)
         act_rep = jnp.repeat(actions[:, None, :], B, axis=1).reshape(A * B, A)
-        y_pred, _, _ = self.forward_action(lat_rep, act_rep, train=train)
+        pos_latent = self.pos_encoding(latent, train=train)       # [B, S, N]
+        no_inter = self._no_inter_scores(pos_latent)              # [B, S, S]
+        pos_rep = jnp.broadcast_to(pos_latent[None], (A, B, S, N)).reshape(
+            A * B, S, N)
+        ni_rep = jnp.broadcast_to(no_inter[None], (A, B, S, S)).reshape(
+            A * B, S, S)
+        y_pred, _, _ = self.forward_action(lat_rep, act_rep, train=train,
+                                           _pos_latent=pos_rep,
+                                           _no_inter=ni_rep)
         y_pred = y_pred.reshape(A, B, S, N)
 
         y_inds = jnp.argmax(latent_y, axis=-1)                    # [B, S]
