@@ -127,7 +127,14 @@ class ArrayFactorDataset:
     def get_batch(self, idxs: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
         raws = self.index_map[np.asarray(idxs)]
         if self._cache is not None:
-            imgs = self._cache[np.asarray(idxs)].astype(np.float32) / 255.0
+            # fused native gather+convert when available (one pass,
+            # threaded) vs numpy's gather -> astype -> divide triple pass
+            from .. import native
+            if native.available():
+                imgs = native.gather_u8_batch(self._cache, idxs)
+            else:
+                imgs = (self._cache[np.asarray(idxs)]
+                        .astype(np.float32) / 255.0)
             return imgs, self.factors_all[raws]
         if isinstance(self.transform, StandardTransform):
             raw_imgs = np.stack([np.asarray(self.images_raw[int(r)])

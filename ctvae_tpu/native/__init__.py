@@ -61,20 +61,44 @@ def _load():
     if path is None:
         return None
     try:
-        lib = ctypes.CDLL(path)
-        lib.ctvae_crop_resize_u8.argtypes = [
-            ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
-            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
-            ctypes.c_void_p, ctypes.c_int]
-        lib.ctvae_crop_resize_f32.argtypes = lib.ctvae_crop_resize_u8.argtypes
-        lib.ctvae_load_jpeg_batch.argtypes = [
-            ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
-            ctypes.c_int, ctypes.c_int, ctypes.c_void_p, ctypes.c_int]
-        lib.ctvae_load_jpeg_batch.restype = ctypes.c_int
-        _lib = lib
+        lib = _bind(path)
+    except AttributeError:
+        # a prebuilt .so from an older source lacks a newer symbol (mtime
+        # comparison can keep one when source and binary were written
+        # together): rebuild from the current source. The stale library
+        # is already dlopen-ed and glibc caches handles BY PATHNAME, so
+        # the rebuild must land at a fresh path to actually be loaded.
+        try:
+            os.remove(_LIB_PATH)
+            fresh = _LIB_PATH + f".r{os.getpid()}"
+            if _build() and os.rename(_LIB_PATH, fresh) is None:
+                lib = _bind(fresh)
+                os.replace(fresh, _LIB_PATH)
+            else:
+                lib = None
+        except (OSError, AttributeError):
+            lib = None
     except OSError:
-        _lib = None
+        lib = None
+    _lib = lib
     return _lib
+
+
+def _bind(path: str):
+    lib = ctypes.CDLL(path)
+    lib.ctvae_crop_resize_u8.argtypes = [
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_void_p, ctypes.c_int]
+    lib.ctvae_crop_resize_f32.argtypes = lib.ctvae_crop_resize_u8.argtypes
+    lib.ctvae_load_jpeg_batch.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_void_p, ctypes.c_int]
+    lib.ctvae_load_jpeg_batch.restype = ctypes.c_int
+    lib.ctvae_gather_u8_to_f32.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int, ctypes.c_int64,
+        ctypes.c_void_p, ctypes.c_int]
+    return lib
 
 
 def available() -> bool:
@@ -107,6 +131,26 @@ def crop_resize_batch(images: np.ndarray, crop: Optional[int],
         lib.ctvae_crop_resize_f32(
             images.ctypes.data, n, h, w, c, crop_v, out_h, out_w,
             out.ctypes.data, nt)
+    return out
+
+
+def gather_u8_batch(src: np.ndarray, idxs: np.ndarray,
+                    n_threads: Optional[int] = None) -> np.ndarray:
+    """Fused ``src[idxs].astype(np.float32) / 255.0`` for a uint8 array:
+    one pass (gather + convert + scale), threaded over rows. ``src`` is
+    [M, ...] uint8, ``idxs`` int64-coercible [N]; returns [N, ...]
+    float32 in [0, 1]."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    src = np.ascontiguousarray(src)
+    assert src.dtype == np.uint8, src.dtype
+    idxs = np.ascontiguousarray(np.asarray(idxs, dtype=np.int64))
+    row_elems = int(np.prod(src.shape[1:], dtype=np.int64))
+    out = np.empty((len(idxs),) + src.shape[1:], np.float32)
+    lib.ctvae_gather_u8_to_f32(
+        src.ctypes.data, idxs.ctypes.data, len(idxs), row_elems,
+        out.ctypes.data, n_threads or _default_threads())
     return out
 
 

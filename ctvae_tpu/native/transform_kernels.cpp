@@ -234,6 +234,26 @@ void ctvae_crop_resize_f32(const float* in, int n, int in_h, int in_w,
                     n_threads);
 }
 
+// Fused fancy-gather + uint8 -> float32 [0,1] conversion, threaded over
+// the gathered rows. Replaces the cached-batch hot path's numpy triple
+// pass (`cache[idxs]` gather write, `.astype` read+write, `/255`
+// read+write) with ONE read of the source rows and ONE write of the
+// float output — the host-side batch-assembly bottleneck once images
+// are pre-materialized (see data/disent_data.py get_batch).
+void ctvae_gather_u8_to_f32(const uint8_t* src, const int64_t* idxs, int n,
+                            int64_t row_elems, float* out, int n_threads) {
+  // 256-entry LUT of v / 255.0f: bit-identical to numpy's
+  // `astype(float32) / 255.0` (multiplying by the reciprocal is 1 ULP
+  // off for some values).
+  float lut[256];
+  for (int v = 0; v < 256; ++v) lut[v] = static_cast<float>(v) / 255.0f;
+  parallel_for(n, n_threads, [&](int i) {
+    const uint8_t* s = src + static_cast<size_t>(idxs[i]) * row_elems;
+    float* d = out + static_cast<size_t>(i) * row_elems;
+    for (int64_t j = 0; j < row_elems; ++j) d[j] = lut[s[j]];
+  });
+}
+
 // JPEG paths -> decode + crop + resize -> float32 NHWC [0,1].
 // Returns the number of images that failed to decode (their slots are
 // zero-filled).

@@ -72,3 +72,34 @@ def test_transform_batch_uses_native():
     ref = np.stack([t(im) for im in imgs])
     assert out.shape == ref.shape == (5, 48, 48, 3)
     assert np.abs(out - ref).max() < 2.0 / 255.0
+
+
+def test_gather_u8_batch_bit_exact():
+    """Fused native gather+convert == numpy gather -> astype -> /255,
+    bitwise (the LUT reproduces true division, not reciprocal-multiply)."""
+    rng = np.random.default_rng(5)
+    src = rng.integers(0, 256, (64, 16, 16, 3)).astype(np.uint8)
+    idxs = rng.integers(0, 64, 23)
+    out = native.gather_u8_batch(src, idxs)
+    ref = src[idxs].astype(np.float32) / 255.0
+    assert out.dtype == np.float32
+    assert np.array_equal(out, ref)
+
+
+def test_disent_cached_get_batch_uses_native(tmp_path):
+    """ArrayFactorDataset's cached hot path returns the same batches
+    whether the native gather kernel or the numpy fallback serves it."""
+    from ctvae_tpu.data.disent_data import ArrayFactorDataset
+
+    rng = np.random.default_rng(6)
+    imgs = rng.integers(0, 256, (30, 16, 16, 3)).astype(np.uint8)
+    factors = np.stack(np.unravel_index(np.arange(30), (5, 6))).T
+    ds = ArrayFactorDataset(imgs, factors, (5, 6), str(tmp_path), "x",
+                            split="train",
+                            transform=StandardTransform(16, crop=None),
+                            cache_transformed=True)
+    idxs = rng.integers(0, len(ds), 11)
+    got, f = ds.get_batch(idxs)
+    ref = ds._cache[np.asarray(idxs)].astype(np.float32) / 255.0
+    assert np.array_equal(got, ref)
+    assert f.shape == (11, 2)
