@@ -206,8 +206,17 @@ class CausalTransition(nn.Module):
         return jax.nn.softmax(nodes_y[..., :N], axis=-1)
 
     def _compute_y(self, latent: Array, action: Array, adjacency: Array,
-                   mask: Array, *, train: bool) -> Array:
-        """GNN transition + action-head selection (reference :188-228)."""
+                   mask: Array, *, train: bool,
+                   mask_is_zero: bool = False) -> Array:
+        """GNN transition + action-head selection (reference :188-228).
+
+        The final GAT layer computes ONLY the heads the selection below
+        keeps — head 0 and each sample's action head (or just head 0
+        when the caller statically knows ``mask == 0``, the base-mode
+        identity-regularizer pass where the action-head term is
+        multiplied by zero): exact in values and gradients, at 2/(1+A)
+        of the final layer's attention-domain cost (ops/gat.py
+        ``heads_call``)."""
         B, S, N = latent.shape
         action = action.astype(self.dtype)
         action_node = self.a_dense(action)                       # [B, N]
@@ -226,21 +235,26 @@ class CausalTransition(nn.Module):
 
         nodes = jnp.concatenate([latent, var_supp], axis=1)      # [B, S+vs, N]
         padded_adj = self._pad_adjacency(adjacency, vs)
-        nodes_y = self.graph_transitioner(nodes, padded_adj)     # [B,S+vs,(A+1)N]
-        nodes_y = nodes_y[:, :S, :]
 
         # head selection: head 0 = no-intervention, head 1+a = action a.
-        # A per-batch dynamic gather is the natural spelling but compiles
-        # to the slowest kernel of the whole action step on TPU (profiled
-        # 13% of step time, scripts/profile_ct.py); the hard one-hot
-        # contraction below is exactly equivalent (one 1 per row) and
-        # fuses into a broadcast-multiply-reduce with a cheap backward.
+        # Only those heads are computed at the final layer (exact); the
+        # per-sample gather happens on the head *parameters* inside
+        # heads_call, so no post-hoc dynamic gather kernel exists at all
+        # (the old full-output dynamic gather profiled as the slowest
+        # kernel of the action step, 13% — scripts/profile_ct.py).
         action_arg = jnp.argmax(action, axis=-1)                 # [B]
-        sel = jax.nn.one_hot(action_arg, self.action_dim,
-                             dtype=nodes_y.dtype)                # [B, A]
-        heads = nodes_y.reshape(B, S, 1 + self.action_dim, N)
-        selected = jnp.einsum("bsan,ba->bsn", heads[:, :, 1:], sel)
-        mixed = nodes_y[..., :N] * (1 - mask) + selected * mask
+        if mask_is_zero:
+            head_idx = jnp.zeros((B, 1), jnp.int32)
+            heads = self.graph_transitioner.select_forward(
+                nodes, padded_adj, head_idx)[:, :S]              # [B,S,1,N]
+            mixed = heads[:, :, 0, :]
+        else:
+            head_idx = jnp.stack(
+                [jnp.zeros((B,), jnp.int32),
+                 1 + action_arg.astype(jnp.int32)], axis=1)      # [B, 2]
+            heads = self.graph_transitioner.select_forward(
+                nodes, padded_adj, head_idx)[:, :S]              # [B,S,2,N]
+            mixed = heads[:, :, 0, :] * (1 - mask) + heads[:, :, 1, :] * mask
         return jax.nn.softmax(mixed, axis=-1)
 
     # ------------------------------------------------------------------
@@ -258,7 +272,7 @@ class CausalTransition(nn.Module):
         causal_graph = st_bernoulli_gumbel(self.make_rng("gumbel"), adjacency)
         weighted = adjacency * causal_graph
         latent_y = self._compute_y(pos_latent, action, weighted, mask,
-                                   train=train)
+                                   train=train, mask_is_zero=True)
 
         identity = jnp.broadcast_to(jnp.eye(S, dtype=latent.dtype), (B, S, S))
         y_id = self._compute_y_identity(pos_latent, train=train)

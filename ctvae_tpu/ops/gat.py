@@ -156,6 +156,61 @@ class DenseGATv2Layer(nn.Module):
         out = jnp.einsum("bsth,bshf->bthf", alpha, xl)
         return out.reshape(B, T, H * F) + bias
 
+    def heads_call(self, x: Array, adj: Array, head_idx: Array) -> Array:
+        """Per-sample head-subset forward. GATv2 heads are independent
+        (per-head logits, per-head softmax over incoming edges, per-head
+        aggregation), so restricting computation to ``head_idx`` [B, K]
+        is identical — values AND gradients — to ``__call__`` followed by
+        gathering those heads, at K/H of the attention-domain VPU work.
+        Used by the CT transition head, which keeps only head 0 and the
+        per-sample action head of its FINAL layer (models/ct_vae.py
+        ``_compute_y``; reference head-select at ct_mcq_vae.py:224-226).
+        Returns [B, T, K, F] (heads not concatenated)."""
+        B, T, _ = x.shape
+        H, F = self.heads, self.out_features
+        K = head_idx.shape[1]
+
+        if self.add_self_loops:
+            eye = jnp.eye(T, dtype=bool)[None]
+            off = jnp.where(eye, 0, adj)
+            cnt = jnp.sum(off != 0, axis=1)
+            fill = jnp.sum(off, axis=1) / jnp.maximum(cnt, 1)
+            adj = off + eye * fill[:, None, :].astype(adj.dtype)
+            edge_mask = (off != 0) | eye
+        else:
+            edge_mask = adj != 0
+
+        # full projections (cheap MXU work), then per-sample head gather —
+        # the savings target is the O(B*S*T*K*F) logits domain below
+        hsel = head_idx[:, None, :, None]                       # [B,1,K,1]
+        xl = jnp.take_along_axis(self.lin_l(x).reshape(B, T, H, F),
+                                 hsel, axis=2)                  # [B,T,K,F]
+        xr = jnp.take_along_axis(self.lin_r(x).reshape(B, T, H, F),
+                                 hsel, axis=2)
+        we = self.we.reshape(H, F)[head_idx]                    # [B,K,F]
+        att = self.att[head_idx]                                # [B,K,F]
+        bias = self.bias.reshape(H, F)[head_idx]                # [B,K,F]
+        ns = self.negative_slope
+
+        @jax.checkpoint
+        def _logits(xl_, xr_, adj_, we_, att_):
+            pre = (xl_[:, :, None, :, :] + xr_[:, None, :, :, :]
+                   + adj_[:, :, :, None, None] * we_[:, None, None, :, :])
+            return jnp.sum(nn.leaky_relu(pre, ns)
+                           * att_[:, None, None, :, :], axis=-1)
+
+        logits = _logits(xl, xr, adj.astype(self.dtype), we, att)
+        mask = edge_mask[:, :, :, None]
+        neg = jnp.asarray(-1e30, logits.dtype)
+        logits = jnp.where(mask, logits, neg)
+        logits = logits - jax.lax.stop_gradient(
+            jnp.max(logits, axis=1, keepdims=True))
+        w = jnp.where(mask, jnp.exp(logits), 0.0)
+        denom = jnp.sum(w, axis=1, keepdims=True)
+        alpha = w / jnp.where(denom == 0, 1.0, denom)
+        out = jnp.einsum("bstk,bskf->btkf", alpha, xl)
+        return out + bias[:, None]
+
 
 class GATv2Stack(nn.Module):
     """[GATv2 -> LeakyReLU(0.01)] * len(hidden) -> GATv2 (no activation).
@@ -191,6 +246,17 @@ class GATv2Stack(nn.Module):
         for layer in hidden_layers:
             x = nn.leaky_relu(layer(x, adj), negative_slope=0.01)
         return last(x, adj)
+
+    def select_forward(self, x: Array, adj: Array,
+                       head_idx: Array) -> Array:
+        """Full stack, but the FINAL layer computes only the per-sample
+        ``head_idx`` [B, K] heads (exact — see heads_call). Hidden
+        layers still need every head: their concatenated output is the
+        next layer's input. Returns [B, T, K, out_features]."""
+        *hidden_layers, last = self._layers()
+        for layer in hidden_layers:
+            x = nn.leaky_relu(layer(x, adj), negative_slope=0.01)
+        return last.heads_call(x, adj, head_idx)
 
     def identity_forward(self, x: Array) -> Array:
         """The stack under an identity adjacency (see

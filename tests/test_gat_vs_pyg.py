@@ -170,3 +170,48 @@ def test_identity_forward_matches_pyg_identity_adjacency():
     general = layer.apply(params, jnp.asarray(x), jnp.asarray(adj))
     np.testing.assert_allclose(np.asarray(general), ref, rtol=2e-4,
                                atol=2e-5)
+
+
+def test_heads_call_matches_full_forward_values_and_grads():
+    """heads_call / select_forward == __call__ restricted to the chosen
+    heads, in values AND parameter gradients (heads are independent in
+    GATv2: per-head logits, per-head incoming-softmax, per-head
+    aggregation). This is the exactness contract the CT transition head
+    relies on (models/ct_vae.py _compute_y final-layer head subset)."""
+    rng = np.random.default_rng(0)
+    B, T, FIN, H, F = 3, 9, 6, 5, 4
+    x = jnp.asarray(rng.normal(size=(B, T, FIN)), jnp.float32)
+    adj = jnp.asarray((rng.uniform(size=(B, T, T)) > 0.6)
+                      * rng.uniform(size=(B, T, T)), jnp.float32)
+    head_idx = jnp.asarray(rng.integers(0, H, (B, 2)), jnp.int32)
+
+    layer = DenseGATv2Layer(out_features=F, heads=H)
+    params = layer.init(jax.random.PRNGKey(0), x, adj)
+
+    def full_then_gather(p):
+        out = layer.apply(p, x, adj).reshape(B, T, H, F)
+        return jnp.take_along_axis(out, head_idx[:, None, :, None], axis=2)
+
+    def subset(p):
+        return layer.apply(p, x, adj, head_idx, method=layer.heads_call)
+
+    np.testing.assert_allclose(np.asarray(subset(params)),
+                               np.asarray(full_then_gather(params)),
+                               rtol=1e-6, atol=1e-6)
+    g_full = jax.grad(lambda p: jnp.sum(full_then_gather(p) ** 2))(params)
+    g_sub = jax.grad(lambda p: jnp.sum(subset(p) ** 2))(params)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a),
+                                                np.asarray(b),
+                                                rtol=1e-5, atol=1e-6),
+        g_full, g_sub)
+
+    # and through the stack: final-layer subset == full stack + gather
+    stack = GATv2Stack(input_dim=F, hidden=(7,), heads=H)
+    sp = stack.init(jax.random.PRNGKey(1), x[..., :F] * 0 + 1.0, adj)
+    xs = jnp.asarray(rng.normal(size=(B, T, F)), jnp.float32)
+    full = stack.apply(sp, xs, adj).reshape(B, T, H, F)
+    full = jnp.take_along_axis(full, head_idx[:, None, :, None], axis=2)
+    sub = stack.apply(sp, xs, adj, head_idx, method=stack.select_forward)
+    np.testing.assert_allclose(np.asarray(sub), np.asarray(full),
+                               rtol=1e-5, atol=1e-6)
