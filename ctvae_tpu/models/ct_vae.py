@@ -158,7 +158,6 @@ class CausalTransition(nn.Module):
         intervened graph. ``no_inter`` lets ``forward_transition`` pass
         precomputed discoverer-0 scores (identical across its action
         hypotheses) instead of rescoring them A times."""
-        B = latent.shape[0]
         lat = latent.astype(self.dtype)
         if no_inter is None:
             no_inter = self._no_inter_scores(latent)
@@ -319,7 +318,11 @@ class CausalTransition(nn.Module):
         common random numbers across hypotheses in training (lower
         variance in the CE-distance comparison than independent draws);
         only the per-action discoverers, masks, edge sampling and the GNN
-        run on the [A*B] virtual batch."""
+        run on the [A*B] virtual batch. (_compute_mask's pos_embed is
+        also action-independent but is NOT hoisted: it is [A*B, S, N]
+        elementwise work — ~0.8M elements vs the ~7e9-element GNN logits
+        domains — so sharing it would complicate the API for no
+        measurable win.)"""
         B, S, N = latent.shape
         A = self.action_dim
         actions = jnp.eye(A, dtype=latent.dtype)                  # [A, A]

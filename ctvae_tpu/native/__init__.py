@@ -37,15 +37,16 @@ def _default_threads() -> int:
     return max(1, (os.cpu_count() or 1))
 
 
-def _build() -> Optional[str]:
-    if os.path.exists(_LIB_PATH) and \
+def _build(out: Optional[str] = None) -> Optional[str]:
+    out = out or _LIB_PATH
+    if out == _LIB_PATH and os.path.exists(_LIB_PATH) and \
             os.path.getmtime(_LIB_PATH) >= os.path.getmtime(_SRC):
         return _LIB_PATH
     cmd = ["g++", "-O3", "-fPIC", "-shared", "-std=c++17",
-           "-march=native", _SRC, "-o", _LIB_PATH, "-ljpeg", "-lpthread"]
+           "-march=native", _SRC, "-o", out, "-ljpeg", "-lpthread"]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=180)
-        return _LIB_PATH
+        return out
     except Exception:
         return None
 
@@ -67,17 +68,24 @@ def _load():
         # comparison can keep one when source and binary were written
         # together): rebuild from the current source. The stale library
         # is already dlopen-ed and glibc caches handles BY PATHNAME, so
-        # the rebuild must land at a fresh path to actually be loaded.
+        # the rebuild lands at a fresh path; the old library is only
+        # replaced after the fresh one binds (if the rebuild fails — e.g.
+        # no compiler — nothing is deleted and callers fall back to the
+        # pure-numpy paths).
+        fresh = _LIB_PATH + f".r{os.getpid()}"
+        lib = None
         try:
-            os.remove(_LIB_PATH)
-            fresh = _LIB_PATH + f".r{os.getpid()}"
-            if _build() and os.rename(_LIB_PATH, fresh) is None:
+            if _build(fresh):
                 lib = _bind(fresh)
                 os.replace(fresh, _LIB_PATH)
-            else:
-                lib = None
         except (OSError, AttributeError):
             lib = None
+        finally:
+            if os.path.exists(fresh):
+                try:
+                    os.remove(fresh)
+                except OSError:
+                    pass
     except OSError:
         lib = None
     _lib = lib
@@ -145,7 +153,17 @@ def gather_u8_batch(src: np.ndarray, idxs: np.ndarray,
         raise RuntimeError("native library unavailable")
     src = np.ascontiguousarray(src)
     assert src.dtype == np.uint8, src.dtype
-    idxs = np.ascontiguousarray(np.asarray(idxs, dtype=np.int64))
+    idxs = np.asarray(idxs, dtype=np.int64)
+    # numpy fancy-indexing semantics: negatives wrap, out-of-range raises
+    # (the C kernel itself does no validation — it would silently read
+    # out-of-bounds memory)
+    n_src = src.shape[0]
+    idxs = np.where(idxs < 0, idxs + n_src, idxs)
+    if idxs.size and (idxs.min() < 0 or idxs.max() >= n_src):
+        bad = idxs[(idxs < 0) | (idxs >= n_src)][0]
+        raise IndexError(f"index {bad} is out of bounds for axis 0 with "
+                         f"size {n_src}")
+    idxs = np.ascontiguousarray(idxs)
     row_elems = int(np.prod(src.shape[1:], dtype=np.int64))
     out = np.empty((len(idxs),) + src.shape[1:], np.float32)
     lib.ctvae_gather_u8_to_f32(

@@ -68,6 +68,37 @@ class DenseGATv2Layer(nn.Module):
         self.bias = self.param("bias", nn.initializers.zeros, (H * F,),
                                self.dtype)
 
+    def _replace_self_loops(self, adj: Array):
+        """PyG ``remove_self_loops`` + ``add_self_loops(fill_value='mean')``
+        (when enabled): drop diagonal edges, then give EVERY node a
+        self-loop whose edge attr is the mean of its remaining incoming
+        weights. Returns ``(adj, edge_mask)`` — shared by ``__call__``
+        and ``heads_call`` so the semantics live in exactly one place."""
+        if not self.add_self_loops:
+            return adj, adj != 0
+        T = adj.shape[1]
+        eye = jnp.eye(T, dtype=bool)[None]
+        off = jnp.where(eye, 0, adj)
+        cnt = jnp.sum(off != 0, axis=1)                       # [B, T]
+        fill = jnp.sum(off, axis=1) / jnp.maximum(cnt, 1)
+        adj = off + eye * fill[:, None, :].astype(adj.dtype)
+        return adj, (off != 0) | eye                          # [B, S, T]
+
+    @staticmethod
+    def _masked_incoming_softmax(logits: Array, edge_mask: Array) -> Array:
+        """Softmax over the source axis (1) restricted to real edges —
+        non-edges are excluded exactly like a sparse edge list, and
+        targets with no incoming edges get an all-zero row. logits
+        [B, S, T, H']; edge_mask [B, S, T]."""
+        mask = edge_mask[:, :, :, None]                  # [B, S, T, 1]
+        neg = jnp.asarray(-1e30, logits.dtype)
+        logits = jnp.where(mask, logits, neg)
+        logits = logits - jax.lax.stop_gradient(
+            jnp.max(logits, axis=1, keepdims=True))
+        w = jnp.where(mask, jnp.exp(logits), 0.0)
+        denom = jnp.sum(w, axis=1, keepdims=True)        # over sources s
+        return w / jnp.where(denom == 0, 1.0, denom)
+
     def identity_call(self, x: Array) -> Array:
         """Exact fast path for an identity adjacency. Under PyG
         semantics the diagonal edges are removed and replaced by one
@@ -85,18 +116,7 @@ class DenseGATv2Layer(nn.Module):
         B, T, _ = x.shape
         H, F = self.heads, self.out_features
 
-        if self.add_self_loops:
-            # PyG remove_self_loops + add_self_loops(fill_value='mean'):
-            # drop diagonal edges, then give EVERY node a self-loop whose
-            # edge attr is the mean of its remaining incoming weights
-            eye = jnp.eye(T, dtype=bool)[None]
-            off = jnp.where(eye, 0, adj)
-            cnt = jnp.sum(off != 0, axis=1)                       # [B, T]
-            fill = jnp.sum(off, axis=1) / jnp.maximum(cnt, 1)
-            adj = off + eye * fill[:, None, :].astype(adj.dtype)
-            edge_mask = (off != 0) | eye                          # [B, S, T]
-        else:
-            edge_mask = adj != 0
+        adj, edge_mask = self._replace_self_loops(adj)
         xl = self.lin_l(x).reshape(B, T, H, F)
         xr = self.lin_r(x).reshape(B, T, H, F)
         we = self.we.reshape(H, F)
@@ -144,15 +164,7 @@ class DenseGATv2Layer(nn.Module):
         else:
             logits = logits_for(adj, xr)                 # [B, S, T, H]
 
-        mask = edge_mask[:, :, :, None]                  # [B, S, T, 1]
-        neg = jnp.asarray(-1e30, logits.dtype)
-        logits = jnp.where(mask, logits, neg)
-        logits = logits - jax.lax.stop_gradient(
-            jnp.max(logits, axis=1, keepdims=True))
-        w = jnp.where(mask, jnp.exp(logits), 0.0)
-        denom = jnp.sum(w, axis=1, keepdims=True)        # over sources s
-        alpha = w / jnp.where(denom == 0, 1.0, denom)
-
+        alpha = self._masked_incoming_softmax(logits, edge_mask)
         out = jnp.einsum("bsth,bshf->bthf", alpha, xl)
         return out.reshape(B, T, H * F) + bias
 
@@ -168,17 +180,18 @@ class DenseGATv2Layer(nn.Module):
         Returns [B, T, K, F] (heads not concatenated)."""
         B, T, _ = x.shape
         H, F = self.heads, self.out_features
-        K = head_idx.shape[1]
 
-        if self.add_self_loops:
-            eye = jnp.eye(T, dtype=bool)[None]
-            off = jnp.where(eye, 0, adj)
-            cnt = jnp.sum(off != 0, axis=1)
-            fill = jnp.sum(off, axis=1) / jnp.maximum(cnt, 1)
-            adj = off + eye * fill[:, None, :].astype(adj.dtype)
-            edge_mask = (off != 0) | eye
-        else:
-            edge_mask = adj != 0
+        if self.block_cols and self.block_cols < T:
+            # the chunked-workspace configuration exists to BOUND memory
+            # (gat_block_cols, models/ct_vae.py): keep that bound by
+            # routing through __call__'s lax.map chunking and gathering
+            # the heads from its output, instead of the subset fast path
+            # (which materializes the [B, S, T, K] logits unchunked).
+            out = self(x, adj).reshape(B, T, H, F)
+            return jnp.take_along_axis(out, head_idx[:, None, :, None],
+                                       axis=2)
+
+        adj, edge_mask = self._replace_self_loops(adj)
 
         # full projections (cheap MXU work), then per-sample head gather —
         # the savings target is the O(B*S*T*K*F) logits domain below
@@ -192,22 +205,21 @@ class DenseGATv2Layer(nn.Module):
         bias = self.bias.reshape(H, F)[head_idx]                # [B,K,F]
         ns = self.negative_slope
 
-        @jax.checkpoint
         def _logits(xl_, xr_, adj_, we_, att_):
             pre = (xl_[:, :, None, :, :] + xr_[:, None, :, :, :]
                    + adj_[:, :, :, None, None] * we_[:, None, None, :, :])
-            return jnp.sum(nn.leaky_relu(pre, ns)
-                           * att_[:, None, None, :, :], axis=-1)
+            act = nn.leaky_relu(pre, ns)
+            if self.fused_logits:
+                return jnp.sum(act * att_[:, None, None, :, :], axis=-1)
+            return jnp.einsum("bstkf,bkf->bstk", act, att_)
+
+        if self.fused_logits:
+            # recompute (cheap) instead of saving the pre-activation for
+            # the leaky_relu backward — same policy as __call__
+            _logits = jax.checkpoint(_logits)
 
         logits = _logits(xl, xr, adj.astype(self.dtype), we, att)
-        mask = edge_mask[:, :, :, None]
-        neg = jnp.asarray(-1e30, logits.dtype)
-        logits = jnp.where(mask, logits, neg)
-        logits = logits - jax.lax.stop_gradient(
-            jnp.max(logits, axis=1, keepdims=True))
-        w = jnp.where(mask, jnp.exp(logits), 0.0)
-        denom = jnp.sum(w, axis=1, keepdims=True)
-        alpha = w / jnp.where(denom == 0, 1.0, denom)
+        alpha = self._masked_incoming_softmax(logits, edge_mask)
         out = jnp.einsum("bstk,bskf->btkf", alpha, xl)
         return out + bias[:, None]
 

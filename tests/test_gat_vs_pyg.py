@@ -215,3 +215,25 @@ def test_heads_call_matches_full_forward_values_and_grads():
     sub = stack.apply(sp, xs, adj, head_idx, method=stack.select_forward)
     np.testing.assert_allclose(np.asarray(sub), np.asarray(full),
                                rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("variant", ["block_cols", "einsum"])
+def test_heads_call_honors_layer_options(variant):
+    """heads_call stays exact under the chunked-workspace (block_cols)
+    and non-fused einsum (fused_logits=False) configurations."""
+    rng = np.random.default_rng(7)
+    B, T, H, F = 2, 8, 4, 3
+    x = jnp.asarray(rng.normal(size=(B, T, F)), jnp.float32)
+    adj = jnp.asarray((rng.uniform(size=(B, T, T)) > 0.5)
+                      * rng.uniform(size=(B, T, T)), jnp.float32)
+    head_idx = jnp.asarray(rng.integers(0, H, (B, 2)), jnp.int32)
+    kw = ({"block_cols": 3} if variant == "block_cols"
+          else {"fused_logits": False})
+    layer = DenseGATv2Layer(out_features=F, heads=H, **kw)
+    ref_layer = DenseGATv2Layer(out_features=F, heads=H)
+    params = layer.init(jax.random.PRNGKey(2), x, adj)
+    full = ref_layer.apply(params, x, adj).reshape(B, T, H, F)
+    full = jnp.take_along_axis(full, head_idx[:, None, :, None], axis=2)
+    sub = layer.apply(params, x, adj, head_idx, method=layer.heads_call)
+    np.testing.assert_allclose(np.asarray(sub), np.asarray(full),
+                               rtol=1e-5, atol=1e-6)

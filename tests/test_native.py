@@ -103,3 +103,18 @@ def test_disent_cached_get_batch_uses_native(tmp_path):
     ref = ds._cache[np.asarray(idxs)].astype(np.float32) / 255.0
     assert np.array_equal(got, ref)
     assert f.shape == (11, 2)
+
+
+def test_gather_u8_batch_bounds_and_negative_wrap():
+    """Negative indices wrap like numpy fancy indexing; out-of-range
+    indices raise IndexError instead of silently reading out-of-bounds
+    memory (the C kernel does no validation)."""
+    rng = np.random.default_rng(7)
+    src = rng.integers(0, 256, (5, 2, 2, 1)).astype(np.uint8)
+    out = native.gather_u8_batch(src, [-1, -5, 3])
+    ref = src[[-1, -5, 3]].astype(np.float32) / 255.0
+    assert np.array_equal(out, ref)
+    with pytest.raises(IndexError):
+        native.gather_u8_batch(src, [0, 5])
+    with pytest.raises(IndexError):
+        native.gather_u8_batch(src, [-6])
