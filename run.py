@@ -88,9 +88,13 @@ def main():
     val_metrics = None
     if metric_names:
         full = getattr(data.val_dataset, "_full_data", data.val_dataset)
+        # sampling sizes follow the reference wiring: 20/10 train batches
+        # worth of representation samples (/root/reference/run.py:72-76)
+        tbs = int(data_params.get("train_batch_size", 64))
         val_metrics = MetricSet(metric_names, full,
                                 batch_size=int(data_params.get(
-                                    "val_batch_size", 64)))
+                                    "val_batch_size", 64)),
+                                num_train=tbs * 20, num_test=tbs * 10)
 
     ckpt_dir = os.path.join(logger.log_dir, "checkpoints")
     ckpt = CheckpointManager(
