@@ -27,6 +27,32 @@ IMG = 64
 TRACE_DIR = "/tmp/ct_trace"
 
 
+def parse_fusion_sources(hlo_text):
+    """fusion name -> (output shape, {source_file:line ...}) from the
+    optimized HLO, so the kernel table below can say WHICH model code a
+    hot fusion belongs to instead of an opaque `fusion.N`."""
+    import re
+    out = {}
+    for m in re.finditer(
+            r'%(fusion[\w\.\-]*) = (.+?) fusion\(.*?calls=%?([\w\.\-]+)',
+            hlo_text):
+        # strip layout annotations (tuple layouts contain parentheses,
+        # e.g. T(8,128)(2,1), so match the whole span then clean it)
+        shape = re.sub(r'\{[^}]*\}', '', m.group(2))
+        out[m.group(1)] = (shape, m.group(3))
+    comp_src = {}
+    for m in re.finditer(r'%?([\w\.\-]+) (?:\([^)]*\) -> [^{]+)?\{(.*?)\n\}',
+                         hlo_text, re.S):
+        srcs = set()
+        for mm in re.finditer(r'source_file="([^"]+)" source_line=(\d+)',
+                              m.group(2)):
+            srcs.add(f"{mm.group(1).rsplit('/', 1)[-1]}:{mm.group(2)}")
+        if srcs:
+            comp_src[m.group(1)] = srcs
+    return {name: (shape, sorted(comp_src.get(comp, []))[:4])
+            for name, (shape, comp) in out.items()}
+
+
 def main():
     model = vae_models["CTMCQVAE"](
         in_channels=3, embedding_dim=128, action_dim=12,
@@ -50,6 +76,7 @@ def main():
                         static_fwd_kwargs={"mode": MODE}),
         donate_argnums=0)
     compiled = step.lower(state, batch).compile()
+    fusion_src = parse_fusion_sources(compiled.as_text())
     for _ in range(3):
         state, metrics = compiled(state, batch)
     _ = float(metrics["loss"])
@@ -85,7 +112,9 @@ def main():
     print(f"total device time: {grand/1e3:.2f} ms over 5 steps "
           f"(batch={BATCH})")
     for name, dur in sorted(totals.items(), key=lambda kv: -kv[1])[:25]:
-        print(f"{dur/1e3:9.3f} ms  x{count[name]:<4d} {name[:110]}")
+        shape, srcs = fusion_src.get(name, (None, []))
+        where = f"  {shape}  [{' '.join(srcs)}]" if shape else ""
+        print(f"{dur/1e3:9.3f} ms  x{count[name]:<4d} {name[:60]}{where}")
 
 
 if __name__ == "__main__":
