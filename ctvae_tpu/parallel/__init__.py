@@ -1,3 +1,4 @@
 from .mesh import (DATA_AXIS, MODEL_AXIS, DEFAULT_TP_RULES, batch_sharding,
-                   make_mesh, param_shardings, put_replicated, replicated,
-                   shard_batch, shard_params)
+                   fsdp_shardings, make_mesh, param_shardings,
+                   pin_state_shardings, put_replicated, replicated,
+                   shard_batch, shard_params, shard_params_fsdp)

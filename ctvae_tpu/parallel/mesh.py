@@ -114,3 +114,83 @@ def shard_params(params, mesh: Mesh,
     """Device-put params with ``param_shardings``."""
     return jax.tree_util.tree_map(
         jax.device_put, params, param_shardings(params, mesh, rules))
+
+
+# ---------------------------------------------------------------------------
+# Fully-sharded data parallelism (FSDP / ZeRO-3).
+#
+# Beyond the reference (its biggest run is 5-GPU DDP with replicated
+# params, /root/reference/configs/ct_mcq_vae.yaml:40). For models whose
+# params + Adam moments outgrow one chip's HBM, shard every large leaf
+# over the *data* axis: XLA's SPMD partitioner inserts the all-gather
+# before each use and the reduce-scatter on the gradients — the
+# scaling-book ZeRO recipe, expressed purely as sharding annotations.
+# Composes with the TP rules above: a leaf already split over ``model``
+# gets its largest *remaining* axis split over ``data``.
+# ---------------------------------------------------------------------------
+
+def fsdp_shardings(params, mesh: Mesh, min_size: int = 1 << 12,
+                   tp_rules: Optional[Dict[str, int]] = None):
+    """Pytree of NamedShardings sharding each large leaf over ``data``.
+
+    Every leaf with ``size >= min_size`` has its largest axis that is
+    divisible by the data-axis size split over ``data`` (ZeRO-3);
+    smaller or indivisible leaves stay replicated. ``tp_rules`` (same
+    schema as ``DEFAULT_TP_RULES``; pass ``{}`` to disable TP) first
+    claims its axis for ``model`` when that mesh axis is non-trivial.
+    """
+    tp_rules = DEFAULT_TP_RULES if tp_rules is None else tp_rules
+    data_size = mesh.shape[DATA_AXIS]
+    model_size = mesh.shape[MODEL_AXIS]
+
+    def one(path, leaf):
+        name = str(path[-1].key) if hasattr(path[-1], "key") else ""
+        spec = [None] * leaf.ndim
+        tp_axis = tp_rules.get(name)
+        if (tp_axis is not None and model_size > 1 and leaf.ndim > tp_axis
+                and leaf.shape[tp_axis] % model_size == 0):
+            spec[tp_axis] = MODEL_AXIS
+        if data_size > 1 and leaf.size >= min_size:
+            free = [a for a in range(leaf.ndim)
+                    if spec[a] is None and leaf.shape[a] % data_size == 0]
+            if free:
+                spec[max(free, key=lambda a: leaf.shape[a])] = DATA_AXIS
+        return NamedSharding(mesh, P(*spec))
+
+    return jax.tree_util.tree_map_with_path(one, params)
+
+
+def shard_params_fsdp(params, mesh: Mesh, min_size: int = 1 << 12,
+                      tp_rules: Optional[Dict[str, int]] = None):
+    """Device-put params with ``fsdp_shardings``. Optimizer states built
+    from the result (``tx.init(params)``) inherit the same layout —
+    sharding the Adam moments is where ZeRO's memory win lives."""
+    return jax.tree_util.tree_map(
+        jax.device_put, params,
+        fsdp_shardings(params, mesh, min_size, tp_rules))
+
+
+def pin_state_shardings(step_fn, state):
+    """Wrap a ``(state, batch) -> (state, metrics)`` step so the output
+    state keeps ``state``'s current sharding layout.
+
+    Under plain propagation XLA is free to return the updated params
+    with whatever sharding minimizes this one program — for an FSDP
+    state that can silently re-replicate the weights, forfeiting the
+    memory win on the very next step. A ``with_sharding_constraint``
+    over the output pins the layout (and keeps input-buffer donation
+    shape/layout-compatible)."""
+    shardings = jax.tree_util.tree_map(lambda a: a.sharding, state)
+
+    def fn(s, batch):
+        new_state, metrics = step_fn(s, batch)
+        # leaves created eagerly off-mesh (e.g. an optimizer step counter
+        # on the default device) carry a SingleDeviceSharding — leave
+        # those unconstrained rather than forcing a device-0 gather
+        new_state = jax.tree_util.tree_map(
+            lambda a, sh: (jax.lax.with_sharding_constraint(a, sh)
+                           if isinstance(sh, NamedSharding) else a),
+            new_state, shardings)
+        return new_state, metrics
+
+    return fn

@@ -8,8 +8,11 @@ import optax
 import pytest
 
 from ctvae_tpu.models import vae_models
-from ctvae_tpu.parallel import (MODEL_AXIS, make_mesh, param_shardings,
-                                replicated, shard_batch, shard_params)
+from ctvae_tpu.parallel import (DATA_AXIS, MODEL_AXIS, fsdp_shardings,
+                                make_mesh, param_shardings,
+                                pin_state_shardings, replicated,
+                                shard_batch, shard_params,
+                                shard_params_fsdp)
 from ctvae_tpu.training import create_train_state, make_train_step
 
 FWD_KEYS = ("action", "input_y")
@@ -84,3 +87,81 @@ def test_tp_step_matches_dp_step(devices):
             state, metrics = step(state, sbatch)
             losses[model_axis] = float(metrics["loss"])
     np.testing.assert_allclose(losses[1], losses[2], rtol=1e-4)
+
+
+def test_fsdp_shardings_split_large_leaves(devices):
+    """Every leaf >= min_size with a divisible axis is split over `data`;
+    TP-ruled leaves keep their `model` split and gain a `data` split on a
+    different axis (ZeRO-3 composed with TP)."""
+    mesh = make_mesh(devices, model_axis=2)
+    model = _ct_model()
+    batch = _batch(model, 8)
+    state = create_train_state(model, jax.random.PRNGKey(0), batch,
+                               [optax.adam(1e-3)], fwd_kwargs_keys=FWD_KEYS)
+    params = jax.device_get(state.params)
+    shardings = fsdp_shardings(params, mesh, min_size=64)
+    n_data = n_both = 0
+    for (path, sh), (_, leaf) in zip(
+            jax.tree_util.tree_flatten_with_path(shardings)[0],
+            jax.tree_util.tree_flatten_with_path(params)[0]):
+        spec = tuple(sh.spec)
+        axes = [a for a in spec if a is not None]
+        if leaf.size < 64:
+            assert DATA_AXIS not in axes, (path, spec)
+        for ax, s in zip(spec, leaf.shape):
+            if ax == DATA_AXIS:
+                assert s % mesh.shape[DATA_AXIS] == 0, (path, spec)
+            if ax == MODEL_AXIS:
+                assert s % mesh.shape[MODEL_AXIS] == 0, (path, spec)
+        n_data += DATA_AXIS in axes
+        n_both += DATA_AXIS in axes and MODEL_AXIS in axes
+    assert n_data >= 10   # the conv kernels and MLP weights all qualify
+    assert n_both >= 1    # at least one leaf carries both splits
+
+
+def test_fsdp_step_matches_dp_step(devices):
+    """One action-mode step with params + Adam moments fully sharded over
+    the 8-way data axis must produce the same loss as pure DP, and the
+    updated params must come back with their FSDP layout intact."""
+    model = _ct_model()
+    batch = _batch(model, 8)
+    txs = [optax.adam(1e-3)]
+    mesh = make_mesh(devices)
+
+    losses = {}
+    for variant in ("dp", "fsdp"):
+        state = create_train_state(model, jax.random.PRNGKey(0), batch, txs,
+                                   fwd_kwargs_keys=FWD_KEYS)
+        with mesh:
+            params = (shard_params_fsdp(jax.device_get(state.params), mesh,
+                                        min_size=64)
+                      if variant == "fsdp" else
+                      jax.device_put(state.params, replicated(mesh)))
+            opt_states = tuple(tx.init(params) for tx in txs)
+            state = state.replace(
+                params=params, opt_states=opt_states,
+                step=jax.device_put(state.step, replicated(mesh)),
+                rng=jax.device_put(state.rng, replicated(mesh)),
+                model_state=jax.device_put(
+                    jax.device_get(state.model_state), replicated(mesh)))
+            sbatch = shard_batch(batch, mesh)
+            step_fn = make_train_step(
+                model, txs, M_N=0.005, fwd_kwargs_keys=FWD_KEYS,
+                static_fwd_kwargs={"mode": "action"})
+            if variant == "fsdp":
+                step_fn = pin_state_shardings(step_fn, state)
+            step = jax.jit(step_fn)
+            in_shardings = jax.tree_util.tree_map(
+                lambda a: a.sharding, state.params)
+            state, metrics = step(state, sbatch)
+            losses[variant] = float(metrics["loss"])
+            if variant == "fsdp":
+                out_flat = jax.tree_util.tree_leaves(state.params)
+                in_flat = jax.tree_util.tree_leaves(in_shardings)
+                n_sharded = 0
+                for leaf, sh in zip(out_flat, in_flat):
+                    assert leaf.sharding.is_equivalent_to(sh, leaf.ndim), (
+                        leaf.shape, leaf.sharding, sh)
+                    n_sharded += not sh.is_fully_replicated
+                assert n_sharded >= 10
+    np.testing.assert_allclose(losses["dp"], losses["fsdp"], rtol=1e-4)
