@@ -11,7 +11,11 @@ Replicates the reference's ``configure_optimizers``
   (adversarial models, e.g. FactorVAE's discriminator),
 * optional per-epoch ``ExponentialLR`` decay via ``scheduler_gamma`` /
   ``scheduler_gamma_2`` — expressed as an optax schedule over *steps*
-  given ``steps_per_epoch``.
+  given ``steps_per_epoch``,
+* the PL Trainer knobs ``gradient_clip_val`` (torch ``clip_grad_norm_``
+  semantics) and ``accumulate_grad_batches`` (k-microbatch gradient
+  averaging via ``optax.MultiSteps``), routed here from
+  ``trainer_params`` by ``run.py``.
 """
 
 from __future__ import annotations
@@ -102,6 +106,14 @@ def build_lr_schedules(exp_params: Dict[str, Any],
         if gamma is None:
             return lambda step: lr
         return _exp_schedule(lr, gamma, steps_per_epoch)
+    accum = int(exp_params.get("accumulate_grad_batches", 1) or 1)
+    if accum > 1:
+        # the inner optimizer only counts real updates: global step k*i
+        # .. k*i+k-1 all see the LR of optimizer step i
+        steps_per_epoch = max(1, steps_per_epoch // accum)
+        base = sched
+        sched = lambda lr, gamma: (  # noqa: E731
+            lambda step, _s=base(lr, gamma): _s(step // accum))
     out = [sched(exp_params.get("LR", 1e-3),
                  exp_params.get("scheduler_gamma"))]
     if exp_params.get("LR_2") is not None:
@@ -128,6 +140,15 @@ def build_optimizers(
     # optax.masked chain (norm over the trainable subtree) is the
     # faithful semantics, not a deviation.
     clip = exp_params.get("gradient_clip_val")
+    # PL Trainer ``accumulate_grad_batches``: average k microbatch grads,
+    # apply ONE optimizer step per k train steps (run.py routes the knob
+    # from trainer_params). optax.MultiSteps holds the running mean; the
+    # clip/decay/Adam chain — and the LR schedule's step count — only
+    # advance on the k-th call, exactly Lightning's accumulation order
+    # (clip at optimizer-step time, after averaging).
+    accum = int(exp_params.get("accumulate_grad_batches", 1) or 1)
+    if accum > 1:
+        steps_per_epoch = max(1, steps_per_epoch // accum)
 
     tx = _adam(lr, weight_decay, gamma, steps_per_epoch, clip=clip)
     if update_parameters is not None:
@@ -153,4 +174,14 @@ def build_optimizers(
                              jax.tree_util.tree_map(lambda b: not b, mask2)),
             )
         txs.append(tx2)
+    if accum > 1:
+        txs = [_multisteps(tx, accum) for tx in txs]
     return txs
+
+
+def _multisteps(tx: optax.GradientTransformation,
+                k: int) -> optax.GradientTransformation:
+    """Wrap ``tx`` so it applies once per ``k`` calls, on the mean of the
+    ``k`` gradients; intermediate calls return zero updates."""
+    ms = optax.MultiSteps(tx, every_k_schedule=k)
+    return optax.GradientTransformation(ms.init, ms.update)

@@ -65,6 +65,11 @@ def main():
     if "gradient_clip_val" in trainer_params:
         exp_params.setdefault("gradient_clip_val",
                               trainer_params.pop("gradient_clip_val"))
+    # accumulate_grad_batches is likewise a PL Trainer knob: k microbatch
+    # grads are averaged before one optimizer step (optax.MultiSteps).
+    if "accumulate_grad_batches" in trainer_params:
+        exp_params.setdefault("accumulate_grad_batches",
+                              trainer_params.pop("accumulate_grad_batches"))
 
     seed = int(exp_params.get("manual_seed", 1265))
     np.random.seed(seed)
