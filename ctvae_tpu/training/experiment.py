@@ -32,7 +32,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..models.base import BaseVAE, RNG_STREAMS
-from ..parallel.mesh import make_mesh, put_replicated, replicated
+from ..parallel.mesh import (make_mesh, pin_state_shardings, put_replicated,
+                             shard_params_fsdp)
 from .optimizers import build_lr_schedules, build_optimizers
 from .state import TrainState, create_train_state, make_eval_step, make_train_step
 
@@ -75,6 +76,15 @@ class VAEXperiment:
         self.mesh = mesh if mesh is not None else make_mesh()
         self.log_every = log_every
         self.kld_weight = float(exp_params.get("kld_weight", 1.0))
+        # exp_params.sharding: "dp" (replicated params, the reference's
+        # DDP equivalent) or "fsdp" (params + optimizer moments sharded
+        # over the data axis, ZeRO-3) — see ctvae_tpu/parallel/mesh.py
+        self.sharding = str(exp_params.get("sharding", "dp")).lower()
+        assert self.sharding in ("dp", "fsdp"), self.sharding
+        # smallest leaf (elements) worth sharding — below this the
+        # all-gather latency costs more than the memory saved
+        self.fsdp_min_size = int(exp_params.get("fsdp_min_size", 1 << 12))
+        self._state_shardings = None
 
         self.state: Optional[TrainState] = None
         self.txs = None
@@ -112,10 +122,36 @@ class VAEXperiment:
         self.txs = build_optimizers(self.params, state.params,
                                     steps_per_epoch)
         self.lr_schedules = build_lr_schedules(self.params, steps_per_epoch)
-        opt_states = tuple(tx.init(state.params) for tx in self.txs)
-        self.state = state.replace(opt_states=opt_states)
-        self.state = put_replicated(self.state, self.mesh)
+        if self.sharding == "fsdp":
+            # shard params FIRST so the optimizer moments built from them
+            # inherit the ZeRO layout (that's where the memory win is)
+            with self.mesh:
+                params = shard_params_fsdp(jax.device_get(state.params),
+                                           self.mesh,
+                                           min_size=self.fsdp_min_size)
+                opt_states = tuple(tx.init(params) for tx in self.txs)
+            self.state = state.replace(
+                params=params, opt_states=opt_states,
+                step=put_replicated(state.step, self.mesh),
+                rng=put_replicated(state.rng, self.mesh),
+                model_state=put_replicated(
+                    jax.device_get(state.model_state), self.mesh))
+        else:
+            opt_states = tuple(tx.init(state.params) for tx in self.txs)
+            self.state = put_replicated(state.replace(opt_states=opt_states),
+                                        self.mesh)
+        # layout template for checkpoint restore / weights-only load
+        self._state_shardings = jax.tree_util.tree_map(
+            lambda a: a.sharding, self.state)
         return self.state
+
+    def _put_like_setup(self, state: TrainState) -> TrainState:
+        """Device-put a (restored) host state in the layout setup()
+        chose — replicated for DP, the recorded shardings for FSDP."""
+        if self.sharding == "fsdp" and self._state_shardings is not None:
+            return jax.tree_util.tree_map(jax.device_put, state,
+                                          self._state_shardings)
+        return put_replicated(state, self.mesh)
 
     def restore_full_state(self, which: str = "last") -> None:
         """Full-state resume (reference ``resume_from_checkpoint``,
@@ -128,7 +164,7 @@ class VAEXperiment:
         assert self.state is not None and self.ckpt is not None
         restored = self.ckpt.restore(jax.device_get(self.state),
                                      which=which)
-        self.state = put_replicated(restored, self.mesh)
+        self.state = self._put_like_setup(restored)
         self.global_step = int(self.state.step)
         spe = max(1, self.data.steps_per_epoch() if self.data else 1)
         self.start_epoch = self.global_step // spe
@@ -140,8 +176,8 @@ class VAEXperiment:
         new_params = load_weights_only(ckpt_path, jax.device_get(
             self.state.params))
         new_params = jax.tree_util.tree_map(jnp.asarray, new_params)
-        self.state = self.state.replace(params=new_params)
-        self.state = put_replicated(self.state, self.mesh)
+        self.state = self._put_like_setup(
+            jax.device_get(self.state).replace(params=new_params))
 
     # -- step caches -----------------------------------------------------
 
@@ -151,10 +187,15 @@ class VAEXperiment:
             static = {"mode": mode} if _has_modes(self.model) else None
             # donate_argnums=0: the old TrainState's buffers are reused
             # for the new one — halves peak HBM for params+opt state.
-            self._train_steps[key] = jax.jit(make_train_step(
+            fn = make_train_step(
                 self.model, self.txs, M_N=self.kld_weight,
                 optimizer_idx=opt_idx, fwd_kwargs_keys=FWD_KEYS,
-                static_fwd_kwargs=static), donate_argnums=0)
+                static_fwd_kwargs=static)
+            if self.sharding == "fsdp":
+                # pin the output layout so updated params/moments stay
+                # ZeRO-sharded step over step (see mesh.py)
+                fn = pin_state_shardings(fn, self.state)
+            self._train_steps[key] = jax.jit(fn, donate_argnums=0)
         return self._train_steps[key]
 
     def _eval_step(self, mode: str):

@@ -47,6 +47,44 @@ def test_fit_trains_and_checkpoints(tmp_path):
     assert index["best"][0]["score"] <= val["val_Reconstruction_Loss"] + 1e-6
 
 
+def test_fit_fsdp_trains_and_resumes(tmp_path):
+    """exp_params.sharding: fsdp — full orchestrated training with
+    params + Adam moments ZeRO-sharded over the 8-device data axis:
+    trains, keeps the sharded layout across steps, and a full-state
+    resume restores INTO that layout."""
+    import jax
+
+    exp, ckpt = _tiny_experiment(
+        tmp_path, exp_params={"LR": 1e-3, "kld_weight": 0.005,
+                              "sharding": "fsdp", "fsdp_min_size": 64})
+    val = exp.fit(max_epochs=1)
+    assert np.isfinite(val["val_loss"])
+    sharded = [p for p in jax.tree_util.tree_leaves(exp.state.params)
+               if not p.sharding.is_fully_replicated]
+    assert len(sharded) >= 5
+    m_leaves = jax.tree_util.tree_leaves(exp.state.opt_states)
+    assert any(hasattr(m, "sharding") and not m.sharding.is_fully_replicated
+               for m in m_leaves)          # Adam moments sharded too
+
+    exp2, _ = _tiny_experiment(
+        tmp_path, exp_params={"LR": 1e-3, "kld_weight": 0.005,
+                              "sharding": "fsdp", "fsdp_min_size": 64})
+    first = next(iter(exp2.data.train_dataloader(0)))
+    exp2.setup(first)
+    exp2.restore_full_state("last")
+    for a, b in zip(jax.tree_util.tree_leaves(exp.state.params),
+                    jax.tree_util.tree_leaves(exp2.state.params)):
+        assert b.sharding.is_equivalent_to(a.sharding, b.ndim)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+    # DP run over the same data/seed reaches the same loss (rtol covers
+    # reduce-scatter vs all-reduce summation-order drift over an epoch;
+    # the strict single-step pin lives in test_parallel.py)
+    exp3, _ = _tiny_experiment(tmp_path / "dp")
+    val3 = exp3.fit(max_epochs=1)
+    np.testing.assert_allclose(val["val_loss"], val3["val_loss"],
+                               rtol=2e-3)
+
+
 def test_weights_only_restore_roundtrip(tmp_path):
     exp, ckpt = _tiny_experiment(tmp_path)
     exp.fit(max_epochs=1)
