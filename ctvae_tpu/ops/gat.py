@@ -32,13 +32,82 @@ dynamic edge lists, fully batchable.
 
 from __future__ import annotations
 
+import functools
+import os
 from typing import Sequence
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from .gat_flash import flash_gat
+
 Array = jax.Array
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def fused_gat_logits(xl: Array, xr: Array, adj: Array,
+                     we: Array, att: Array, ns: float) -> Array:
+    """GATv2 edge logits ``e[b,s,t,h] = att_h . leaky(xl_s + xr_t +
+    adj_st we_h)`` with a hand-written ONE-WALK backward.
+
+    ``jax.checkpoint`` around the same expression recomputes the
+    [B,S,T,H,F] pre-activation once per gradient reduction — XLA emits
+    ~4 separate loop fusions over the full domain (profiled in
+    scripts/profile_ct.py; they dominate the CT causal step). Here the
+    backward is a single traced computation producing all five
+    gradients from one recomputation, which XLA multi-output-fuses into
+    far fewer domain walks. Values and gradients are identical to the
+    checkpointed form (same ops, same dtypes) — pinned in
+    tests/test_gat_flash.py; A/B-measured on chip in
+    scripts/bench_gat_flash.py.
+
+    xl [B,S,H,F], xr [B,T,H,F], adj [B,S,T], we/att [H,F] (or [B,H,F]
+    for per-sample heads — every op broadcasts). Returns [B,S,T,H].
+    """
+    pre = (xl[:, :, None, :, :] + xr[:, None, :, :, :]
+           + adj[:, :, :, None, None] * _bhf(we))
+    act = jnp.where(pre >= 0, pre, ns * pre)
+    return jnp.sum(act * _bhf(att), axis=-1)
+
+
+def _bhf(p: Array) -> Array:
+    """[H,F] -> [1,1,H,F] or [B,H,F] -> [B,1,1,H,F] for broadcasting
+    against the [B,S,T,H,F] pre-activation."""
+    return p[:, None, None] if p.ndim == 3 else p
+
+
+def _fgl_fwd(xl, xr, adj, we, att, ns):
+    return fused_gat_logits(xl, xr, adj, we, att, ns), (xl, xr, adj, we, att)
+
+
+def _fgl_bwd(ns, res, d_e):
+    xl, xr, adj, we, att = res
+    web, attb = _bhf(we), _bhf(att)
+    pre = (xl[:, :, None, :, :] + xr[:, None, :, :, :]
+           + adj[:, :, :, None, None] * web)
+    slope = jnp.where(pre >= 0, jnp.asarray(1.0, pre.dtype),
+                      jnp.asarray(ns, pre.dtype))
+    dpre = d_e[..., None] * attb * slope                 # [B,S,T,H,F]
+    act = jnp.where(pre >= 0, pre, ns * pre)
+    d_xl = jnp.sum(dpre, axis=2)                         # [B,S,H,F]
+    d_xr = jnp.sum(dpre, axis=1)                         # [B,T,H,F]
+    d_adj = jnp.sum(dpre * web, axis=(3, 4))             # [B,S,T]
+    p_axes = (1, 2) if we.ndim == 3 else (0, 1, 2)
+    d_we = jnp.sum(dpre * adj[:, :, :, None, None], axis=p_axes)
+    d_att = jnp.sum(act * d_e[..., None], axis=p_axes)
+    return d_xl, d_xr, d_adj, d_we, d_att
+
+
+fused_gat_logits.defvjp(_fgl_fwd, _fgl_bwd)
+
+
+def _onewalk_enabled() -> bool:
+    """CTVAE_GAT_ONEWALK routes the fused-logit backward through the
+    one-walk custom VJP above instead of ``jax.checkpoint`` recompute.
+    Default on — measured faster on v5e (scripts/bench_gat_flash.py);
+    0 restores the checkpointed form (bit-identical values/grads)."""
+    return os.environ.get("CTVAE_GAT_ONEWALK", "1") != "0"
 
 
 class DenseGATv2Layer(nn.Module):
@@ -110,6 +179,25 @@ class DenseGATv2Layer(nn.Module):
         O(T F^2 H) instead of O(T^2 H F)."""
         return self.lin_l(x) + self.bias
 
+    def _use_flash(self) -> bool:
+        """Route the attention through the flash-fused Pallas kernel
+        (ops/gat_flash.py): CTVAE_FLASH_GAT=1 forces it on any backend
+        (CPU runs the interpreter — tests), "auto" uses it on a real
+        TPU backend, 0 (default) disables. Default is OFF because the
+        only TPU reachable from this build host sits behind a tunnel
+        whose Mosaic remote-compile hangs on ANY Pallas kernel (see
+        gat_flash.py STATUS); "auto" is the intended setting on a real
+        TPU VM. Incompatible with the chunked-workspace mode (the
+        kernel holds one [S,T,F] head-block in VMEM by construction) and
+        pointless without fused_logits (parity tests pin the einsum
+        path)."""
+        if not self.fused_logits or self.block_cols:
+            return False
+        v = os.environ.get("CTVAE_FLASH_GAT", "0")
+        if v == "1":
+            return True
+        return v == "auto" and jax.default_backend() == "tpu"
+
     def __call__(self, x: Array, adj: Array) -> Array:
         """x: [B, T, Fin], adj: [B, T, T] (adj[b, s, t] = edge s->t).
         Returns [B, T, heads * out_features]."""
@@ -122,6 +210,12 @@ class DenseGATv2Layer(nn.Module):
         we = self.we.reshape(H, F)
         att = self.att
         bias = self.bias
+
+        if self._use_flash():
+            out = flash_gat(xl, xr, adj.astype(self.dtype), edge_mask,
+                            we, att, self.negative_slope,
+                            jax.default_backend() != "tpu")
+            return out.reshape(B, T, H * F) + bias
 
         ns = self.negative_slope
 
@@ -143,9 +237,15 @@ class DenseGATv2Layer(nn.Module):
             return jnp.einsum("bschf,hf->bsch", act, att_)
 
         if self.fused_logits:
-            # recompute (cheap) instead of saving the pre-activation for
-            # the leaky_relu backward
-            _logits = jax.checkpoint(_logits)
+            if _onewalk_enabled():
+                # one-walk custom-VJP backward (see fused_gat_logits)
+                def _logits(xl_, xr_cols, adj_cols, we_, att_):
+                    return fused_gat_logits(xl_, xr_cols, adj_cols,
+                                            we_, att_, ns)
+            else:
+                # recompute (cheap) instead of saving the pre-activation
+                # for the leaky_relu backward
+                _logits = jax.checkpoint(_logits)
 
         def logits_for(adj_cols: Array, xr_cols: Array) -> Array:
             return _logits(xl, xr_cols, adj_cols.astype(self.dtype), we, att)
@@ -214,9 +314,15 @@ class DenseGATv2Layer(nn.Module):
             return jnp.einsum("bstkf,bkf->bstk", act, att_)
 
         if self.fused_logits:
-            # recompute (cheap) instead of saving the pre-activation for
-            # the leaky_relu backward — same policy as __call__
-            _logits = jax.checkpoint(_logits)
+            if _onewalk_enabled():
+                # one-walk custom-VJP backward; we/att are per-sample
+                # [B,K,F] here — fused_gat_logits broadcasts them
+                def _logits(xl_, xr_, adj_, we_, att_):
+                    return fused_gat_logits(xl_, xr_, adj_, we_, att_, ns)
+            else:
+                # recompute (cheap) instead of saving the pre-activation
+                # for the leaky_relu backward — same policy as __call__
+                _logits = jax.checkpoint(_logits)
 
         logits = _logits(xl, xr, adj.astype(self.dtype), we, att)
         alpha = self._masked_incoming_softmax(logits, edge_mask)

@@ -109,7 +109,10 @@ def l2_argmin_pallas(flat: Array, codebook: Array,
 # 2026-08-17 with a lane-aligned (1, 1, TILE_N) output block at
 # TILE_N=512 — the degenerate [TILE_N, 1] output column was not the
 # cause, and a hung compile wedges the shared chip, so do not retry
-# against live hardware). The XLA formulation
+# against live hardware; re-confirmed 2026-08-19 that even a trivial
+# aligned (8,128) VMEM copy kernel hangs this tunnel's Mosaic
+# remote-compile — the failure is the toolchain, not this kernel's
+# shapes). The XLA formulation
 # below compiles to the same MXU matmul with the argmin fused into the
 # epilogue and is not a measurable fraction of any model's step time, so
 # it stays the default until the toolchain issue is fixed.
