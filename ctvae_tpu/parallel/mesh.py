@@ -18,6 +18,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
 MODEL_AXIS = "model"
+REPLICA_AXIS = "replica"   # maps across pod slices (DCN) on a hybrid mesh
 
 
 def make_mesh(devices: Optional[Sequence[jax.Device]] = None,
@@ -32,8 +33,48 @@ def make_mesh(devices: Optional[Sequence[jax.Device]] = None,
     return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
 
 
+def make_hybrid_mesh(dcn_replicas: int,
+                     model_axis: int = 1,
+                     devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
+    """Multi-slice pod mesh ``(replica, data, model)``.
+
+    The ``replica`` axis maps ACROSS slices (DCN links); ``data`` and
+    ``model`` stay INSIDE a slice (ICI links). The batch is sharded over
+    (replica, data) jointly — see ``batch_sharding`` — so XLA's gradient
+    all-reduce decomposes hierarchically: reduce-scatter/all-gather
+    legs inside each slice ride ICI and only the per-slice partial sums
+    cross DCN once per step. FSDP (``fsdp_shardings``) keys off the
+    ``data`` axis only, so ZeRO weight all-gathers never touch DCN —
+    the scaling-book recipe for DP-across-slices.
+
+    When the devices expose slice topology (real multi-slice TPU:
+    ``device.slice_index``), the mesh is built with
+    ``mesh_utils.create_hybrid_device_mesh`` so axis<->link assignment is
+    physically correct; otherwise (CPU tests, single-slice chips) the
+    devices are reshaped in enumeration order — same SPMD program,
+    logical-only topology.
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    assert n % (dcn_replicas * model_axis) == 0, (n, dcn_replicas, model_axis)
+    ici_data = n // (dcn_replicas * model_axis)
+    slice_ids = {getattr(d, "slice_index", None) for d in devices}
+    if None not in slice_ids and len(slice_ids) == dcn_replicas:
+        from jax.experimental import mesh_utils
+        arr = mesh_utils.create_hybrid_device_mesh(
+            mesh_shape=(1, ici_data, model_axis),
+            dcn_mesh_shape=(dcn_replicas, 1, 1),
+            devices=devices)
+    else:
+        arr = np.array(devices).reshape(dcn_replicas, ici_data, model_axis)
+    return Mesh(arr, (REPLICA_AXIS, DATA_AXIS, MODEL_AXIS))
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
-    """Leading (batch) dim split over the data axis."""
+    """Leading (batch) dim split over the data axis — jointly over
+    (replica, data) on a hybrid multi-slice mesh."""
+    if REPLICA_AXIS in mesh.axis_names:
+        return NamedSharding(mesh, P((REPLICA_AXIS, DATA_AXIS)))
     return NamedSharding(mesh, P(DATA_AXIS))
 
 
@@ -126,7 +167,10 @@ def shard_params(params, mesh: Mesh,
 # before each use and the reduce-scatter on the gradients — the
 # scaling-book ZeRO recipe, expressed purely as sharding annotations.
 # Composes with the TP rules above: a leaf already split over ``model``
-# gets its largest *remaining* axis split over ``data``.
+# gets its largest *remaining* axis split over ``data``. On a hybrid
+# multi-slice mesh (make_hybrid_mesh) the ``data`` axis is intra-slice
+# by construction, so the ZeRO weight all-gathers stay on ICI; the
+# ``replica`` (DCN) axis carries only the per-step gradient reduction.
 # ---------------------------------------------------------------------------
 
 def fsdp_shardings(params, mesh: Mesh, min_size: int = 1 << 12,

@@ -32,7 +32,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..models.base import BaseVAE, RNG_STREAMS
-from ..parallel.mesh import (make_mesh, pin_state_shardings, put_replicated,
+from ..parallel.mesh import (make_hybrid_mesh, make_mesh,
+                             pin_state_shardings, put_replicated,
                              shard_params_fsdp)
 from .optimizers import build_lr_schedules, build_optimizers
 from .state import TrainState, create_train_state, make_eval_step, make_train_step
@@ -73,7 +74,15 @@ class VAEXperiment:
         self.ckpt = ckpt_manager
         self.val_metrics = val_metrics
         self.train_metrics = train_metrics
-        self.mesh = mesh if mesh is not None else make_mesh()
+        # exp_params.dcn_replicas: N > 1 builds a hybrid multi-slice mesh
+        # (replica over DCN x data over ICI) — see make_hybrid_mesh
+        dcn_replicas = int(exp_params.get("dcn_replicas", 1))
+        if mesh is not None:
+            self.mesh = mesh
+        elif dcn_replicas > 1:
+            self.mesh = make_hybrid_mesh(dcn_replicas)
+        else:
+            self.mesh = make_mesh()
         self.log_every = log_every
         self.kld_weight = float(exp_params.get("kld_weight", 1.0))
         # exp_params.sharding: "dp" (replicated params, the reference's

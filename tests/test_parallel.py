@@ -8,10 +8,11 @@ import optax
 import pytest
 
 from ctvae_tpu.models import vae_models
-from ctvae_tpu.parallel import (DATA_AXIS, MODEL_AXIS, fsdp_shardings,
-                                make_mesh, param_shardings,
-                                pin_state_shardings, replicated,
-                                shard_batch, shard_params,
+from ctvae_tpu.parallel import (DATA_AXIS, MODEL_AXIS, REPLICA_AXIS,
+                                batch_sharding, fsdp_shardings,
+                                make_hybrid_mesh, make_mesh,
+                                param_shardings, pin_state_shardings,
+                                replicated, shard_batch, shard_params,
                                 shard_params_fsdp)
 from ctvae_tpu.training import create_train_state, make_train_step
 
@@ -165,3 +166,62 @@ def test_fsdp_step_matches_dp_step(devices):
                     n_sharded += not sh.is_fully_replicated
                 assert n_sharded >= 10
     np.testing.assert_allclose(losses["dp"], losses["fsdp"], rtol=1e-4)
+
+
+def test_hybrid_mesh_shapes_and_batch_spec(devices):
+    """A 2-slice hybrid mesh is (replica=2, data=4, model=1) over 8
+    devices, the batch sharding spans (replica, data) jointly, and FSDP
+    shardings never touch the replica (DCN) axis — ZeRO all-gathers must
+    stay on ICI."""
+    mesh = make_hybrid_mesh(2, devices=devices)
+    assert mesh.axis_names == (REPLICA_AXIS, DATA_AXIS, MODEL_AXIS)
+    assert mesh.shape[REPLICA_AXIS] == 2
+    assert mesh.shape[DATA_AXIS] == 4
+    assert mesh.shape[MODEL_AXIS] == 1
+    assert tuple(batch_sharding(mesh).spec) == ((REPLICA_AXIS, DATA_AXIS),)
+
+    model = _ct_model()
+    batch = _batch(model, 8)
+    state = create_train_state(model, jax.random.PRNGKey(0), batch,
+                               [optax.adam(1e-3)], fwd_kwargs_keys=FWD_KEYS)
+    shardings = fsdp_shardings(jax.device_get(state.params), mesh,
+                               min_size=64)
+    n_data = 0
+    for _, sh in jax.tree_util.tree_flatten_with_path(shardings)[0]:
+        axes = [a for a in tuple(sh.spec) if a is not None]
+        assert REPLICA_AXIS not in axes, sh.spec
+        n_data += DATA_AXIS in axes
+    assert n_data >= 10
+
+
+def test_hybrid_mesh_step_matches_dp_step(devices):
+    """One action-mode step on the (2, 4, 1) hybrid multi-slice mesh
+    must produce the same loss as on the flat (8, 1) DP mesh — the DCN
+    replica axis only changes which links the gradient reduction rides."""
+    model = _ct_model()
+    batch = _batch(model, 8)
+    txs = [optax.adam(1e-3)]
+
+    losses = {}
+    for variant in ("flat", "hybrid"):
+        mesh = (make_mesh(devices) if variant == "flat"
+                else make_hybrid_mesh(2, devices=devices))
+        state = create_train_state(model, jax.random.PRNGKey(0), batch, txs,
+                                   fwd_kwargs_keys=FWD_KEYS)
+        with mesh:
+            state = state.replace(
+                params=jax.device_put(state.params, replicated(mesh)),
+                opt_states=jax.device_put(state.opt_states, replicated(mesh)),
+                step=jax.device_put(state.step, replicated(mesh)),
+                rng=jax.device_put(state.rng, replicated(mesh)),
+                model_state=jax.device_put(
+                    jax.device_get(state.model_state), replicated(mesh)))
+            sbatch = shard_batch(batch, mesh)
+            assert sbatch["image"].sharding.is_equivalent_to(
+                batch_sharding(mesh), sbatch["image"].ndim)
+            step = jax.jit(make_train_step(
+                model, txs, M_N=0.005, fwd_kwargs_keys=FWD_KEYS,
+                static_fwd_kwargs={"mode": "action"}))
+            state, metrics = step(state, sbatch)
+            losses[variant] = float(metrics["loss"])
+    np.testing.assert_allclose(losses["flat"], losses["hybrid"], rtol=1e-4)
