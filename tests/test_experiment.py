@@ -85,6 +85,32 @@ def test_fit_fsdp_trains_and_resumes(tmp_path):
                                rtol=2e-3)
 
 
+def test_fit_hybrid_mesh_trains(tmp_path):
+    """exp_params.dcn_replicas: 2 — the orchestrator builds the hybrid
+    (replica, data, model) multi-slice mesh and trains on it, composed
+    with FSDP keyed off the intra-slice data axis only."""
+    import jax
+
+    from ctvae_tpu.parallel import DATA_AXIS, REPLICA_AXIS
+
+    exp, _ = _tiny_experiment(
+        tmp_path, exp_params={"LR": 1e-3, "kld_weight": 0.005,
+                              "dcn_replicas": 2, "sharding": "fsdp",
+                              "fsdp_min_size": 64})
+    assert exp.mesh.shape[REPLICA_AXIS] == 2
+    assert exp.mesh.shape[DATA_AXIS] == 4
+    val = exp.fit(max_epochs=1)
+    assert np.isfinite(val["val_loss"])
+    n_sharded = 0
+    for p in jax.tree_util.tree_leaves(exp.state.params):
+        spec = getattr(p.sharding, "spec", ())
+        axes = [a for t in spec if t is not None
+                for a in (t if isinstance(t, tuple) else (t,))]
+        assert REPLICA_AXIS not in axes, spec
+        n_sharded += DATA_AXIS in axes
+    assert n_sharded >= 5
+
+
 def test_weights_only_restore_roundtrip(tmp_path):
     exp, ckpt = _tiny_experiment(tmp_path)
     exp.fit(max_epochs=1)

@@ -197,21 +197,28 @@ def test_hybrid_mesh_shapes_and_batch_spec(devices):
 def test_hybrid_mesh_step_matches_dp_step(devices):
     """One action-mode step on the (2, 4, 1) hybrid multi-slice mesh
     must produce the same loss as on the flat (8, 1) DP mesh — the DCN
-    replica axis only changes which links the gradient reduction rides."""
+    replica axis only changes which links the gradient reduction rides.
+    The hybrid_fsdp variant additionally ZeRO-shards params + Adam
+    moments over the intra-slice data axis (the composition the README
+    advertises) and must keep both the loss and the FSDP layout."""
     model = _ct_model()
     batch = _batch(model, 8)
     txs = [optax.adam(1e-3)]
 
     losses = {}
-    for variant in ("flat", "hybrid"):
+    for variant in ("flat", "hybrid", "hybrid_fsdp"):
         mesh = (make_mesh(devices) if variant == "flat"
                 else make_hybrid_mesh(2, devices=devices))
         state = create_train_state(model, jax.random.PRNGKey(0), batch, txs,
                                    fwd_kwargs_keys=FWD_KEYS)
         with mesh:
+            params = (shard_params_fsdp(jax.device_get(state.params), mesh,
+                                        min_size=64)
+                      if variant == "hybrid_fsdp" else
+                      jax.device_put(state.params, replicated(mesh)))
+            opt_states = tuple(tx.init(params) for tx in txs)
             state = state.replace(
-                params=jax.device_put(state.params, replicated(mesh)),
-                opt_states=jax.device_put(state.opt_states, replicated(mesh)),
+                params=params, opt_states=opt_states,
                 step=jax.device_put(state.step, replicated(mesh)),
                 rng=jax.device_put(state.rng, replicated(mesh)),
                 model_state=jax.device_put(
@@ -219,9 +226,25 @@ def test_hybrid_mesh_step_matches_dp_step(devices):
             sbatch = shard_batch(batch, mesh)
             assert sbatch["image"].sharding.is_equivalent_to(
                 batch_sharding(mesh), sbatch["image"].ndim)
-            step = jax.jit(make_train_step(
+            step_fn = make_train_step(
                 model, txs, M_N=0.005, fwd_kwargs_keys=FWD_KEYS,
-                static_fwd_kwargs={"mode": "action"}))
+                static_fwd_kwargs={"mode": "action"})
+            if variant == "hybrid_fsdp":
+                step_fn = pin_state_shardings(step_fn, state)
+            step = jax.jit(step_fn)
+            in_shardings = jax.tree_util.tree_map(
+                lambda a: a.sharding, state.params)
             state, metrics = step(state, sbatch)
             losses[variant] = float(metrics["loss"])
+            if variant == "hybrid_fsdp":
+                n_sharded = 0
+                for leaf, sh in zip(
+                        jax.tree_util.tree_leaves(state.params),
+                        jax.tree_util.tree_leaves(in_shardings)):
+                    assert leaf.sharding.is_equivalent_to(sh, leaf.ndim), (
+                        leaf.shape, leaf.sharding, sh)
+                    n_sharded += not sh.is_fully_replicated
+                assert n_sharded >= 10
     np.testing.assert_allclose(losses["flat"], losses["hybrid"], rtol=1e-4)
+    np.testing.assert_allclose(losses["flat"], losses["hybrid_fsdp"],
+                               rtol=1e-4)
