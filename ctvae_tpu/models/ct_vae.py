@@ -81,6 +81,10 @@ class CausalTransition(nn.Module):
     gat_block_cols: int = 0   # >0 bounds the GAT attention workspace
     max_len: int = 4096
     dtype: jnp.dtype = jnp.float32
+    seq_axis: Optional[str] = None   # mesh axis for sequence parallelism:
+                                     # shards the target-node axis of the
+                                     # O(S^2) pairwise/GAT domains across
+                                     # chips (parallel/mesh.py shard_dim)
 
     @property
     def _ldims(self):
@@ -115,7 +119,8 @@ class CausalTransition(nn.Module):
                                     (N,), self.dtype)
         self.graph_transitioner = GATv2Stack(
             input_dim=N, hidden=self._ldims[1:], heads=self.nb_heads,
-            dtype=self.dtype, block_cols=self.gat_block_cols)
+            dtype=self.dtype, block_cols=self.gat_block_cols,
+            seq_axis=self.seq_axis)
 
     # ------------------------------------------------------------------
     # building blocks
@@ -148,7 +153,8 @@ class CausalTransition(nn.Module):
         v0 = lat @ self.disc_w1r[0]
         return pairwise_mlp_scores(
             u0, v0, self.disc_w2[0, :, 0], self.disc_b2[0, 0],
-            self.disc_b1[0], block_rows=self.pairwise_block_rows)
+            self.disc_b1[0], block_rows=self.pairwise_block_rows,
+            seq_axis=self.seq_axis)
 
     def _compute_adj(self, latent: Array, action: Array, mask: Array,
                      no_inter: Optional[Array] = None) -> Array:
@@ -169,7 +175,8 @@ class CausalTransition(nn.Module):
         vi = jnp.einsum("bsn,bnh->bsh", lat, w1r)
         inter = pairwise_mlp_scores(
             ui, vi, self.disc_w2[aid, :, 0], self.disc_b2[aid, 0],
-            self.disc_b1[aid], block_rows=self.pairwise_block_rows)
+            self.disc_b1[aid], block_rows=self.pairwise_block_rows,
+            seq_axis=self.seq_axis)
         return no_inter * (1 - mask) + inter * mask
 
     def _pad_adjacency(self, adjacency: Array, vs: int) -> Array:
@@ -437,6 +444,9 @@ class CTMCQVAE(BaseVAE):
     gat_block_cols: int = 0
     ct_dropout_rate: float = 0.1   # PE dropout (reference
                                    # PositionalEncoding default, :19)
+    seq_axis: Optional[str] = None   # sequence parallelism for the CT
+                                     # layer (exp_params.sharding: sp
+                                     # wires this to "model" — run.py)
     dtype: jnp.dtype = jnp.float32
 
     @property
@@ -459,7 +469,8 @@ class CTMCQVAE(BaseVAE):
             c_alpha=self.c_alpha, c_beta=self.c_beta, c_delta=self.c_delta,
             c_epsilon=self.c_epsilon, dropout_rate=self.ct_dropout_rate,
             pairwise_block_rows=self.pairwise_block_rows,
-            gat_block_cols=self.gat_block_cols, dtype=self.dtype)
+            gat_block_cols=self.gat_block_cols, seq_axis=self.seq_axis,
+            dtype=self.dtype)
         self.decoder = VQDecoder(hd, out_channels=self.in_channels,
                                  dtype=self.dtype)
 

@@ -34,12 +34,13 @@ from __future__ import annotations
 
 import functools
 import os
-from typing import Sequence
+from typing import Optional, Sequence
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from ..parallel.mesh import shard_dim
 from .gat_flash import flash_gat
 
 Array = jax.Array
@@ -123,6 +124,11 @@ class DenseGATv2Layer(nn.Module):
                                 # [B,S,T,H,F] pre-activation never hits
                                 # HBM (recomputed in backward); False =
                                 # plain einsum (used by parity tests)
+    seq_axis: Optional[str] = None  # mesh axis to shard the TARGET node
+                                # axis of the attention domain over
+                                # (sequence parallelism — see
+                                # parallel/mesh.py shard_dim). No-op
+                                # outside a mesh context.
 
     def setup(self):
         # setup() (not @nn.compact) so identity_call can share the params
@@ -188,10 +194,12 @@ class DenseGATv2Layer(nn.Module):
         whose Mosaic remote-compile hangs on ANY Pallas kernel (see
         gat_flash.py STATUS); "auto" is the intended setting on a real
         TPU VM. Incompatible with the chunked-workspace mode (the
-        kernel holds one [S,T,F] head-block in VMEM by construction) and
-        pointless without fused_logits (parity tests pin the einsum
-        path)."""
-        if not self.fused_logits or self.block_cols:
+        kernel holds one [S,T,F] head-block in VMEM by construction),
+        with sequence parallelism (the kernel grid owns the full target
+        axis per program; SP splits that domain across chips on the XLA
+        path instead), and pointless without fused_logits (parity tests
+        pin the einsum path)."""
+        if not self.fused_logits or self.block_cols or self.seq_axis:
             return False
         v = os.environ.get("CTVAE_FLASH_GAT", "0")
         if v == "1":
@@ -263,9 +271,17 @@ class DenseGATv2Layer(nn.Module):
             logits = logits[:, :, :T]
         else:
             logits = logits_for(adj, xr)                 # [B, S, T, H]
+            # sequence parallelism: pin the target axis to the model mesh
+            # axis so XLA partitions the O(B S T H F) logit fusion (and
+            # its backward) across chips; each chip walks its T-block
+            # against the full (small) source features. The blocked path
+            # above already bounds the workspace a different way and is
+            # left unsharded.
+            logits = shard_dim(logits, 2, self.seq_axis)
 
         alpha = self._masked_incoming_softmax(logits, edge_mask)
         out = jnp.einsum("bsth,bshf->bthf", alpha, xl)
+        out = shard_dim(out, 1, self.seq_axis)
         return out.reshape(B, T, H * F) + bias
 
     def heads_call(self, x: Array, adj: Array, head_idx: Array) -> Array:
@@ -325,8 +341,10 @@ class DenseGATv2Layer(nn.Module):
                 _logits = jax.checkpoint(_logits)
 
         logits = _logits(xl, xr, adj.astype(self.dtype), we, att)
+        logits = shard_dim(logits, 2, self.seq_axis)   # SP: see __call__
         alpha = self._masked_incoming_softmax(logits, edge_mask)
         out = jnp.einsum("bstk,bskf->btkf", alpha, xl)
+        out = shard_dim(out, 1, self.seq_axis)
         return out + bias[:, None]
 
 
@@ -344,6 +362,7 @@ class GATv2Stack(nn.Module):
     heads: int
     dtype: jnp.dtype = jnp.float32
     block_cols: int = 0
+    seq_axis: Optional[str] = None   # sequence parallelism, per layer
 
     def setup(self):
         # attribute names keep the historical auto-generated paths
@@ -352,7 +371,8 @@ class GATv2Stack(nn.Module):
         for i, dim in enumerate(dims):
             setattr(self, f"DenseGATv2Layer_{i}",
                     DenseGATv2Layer(dim, heads=self.heads, dtype=self.dtype,
-                                    block_cols=self.block_cols))
+                                    block_cols=self.block_cols,
+                                    seq_axis=self.seq_axis))
         self._n_layers = len(dims)
 
     def _layers(self):

@@ -20,6 +20,8 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
+from ..parallel.mesh import shard_dim
+
 Array = jax.Array
 
 
@@ -37,13 +39,19 @@ _FUSED_PAIRWISE_BYTES = 2 << 30
 def pairwise_mlp_scores(x_left: Array, x_right: Array, w2: Array, b2: Array,
                         b1: Array, negative_slope: float = 0.01,
                         block_rows: Optional[int] = None,
-                        fused: Optional[bool] = None) -> Array:
+                        fused: Optional[bool] = None,
+                        seq_axis: Optional[str] = None) -> Array:
     """Scores for all ordered pairs.
 
     x_left:  [B, S, H] = X @ Wl   (row / first element of the pair)
     x_right: [B, S, H] = X @ Wr   (column / second element)
     w2: [H] or [B, H] (broadcast to [B, H]); b2: [] or [B]; b1: [..., H]
     fused: None = auto by pre-activation size (see _FUSED_PAIRWISE_BYTES)
+    seq_axis: mesh axis to shard the COLUMN (second-element) node axis
+        over — sequence parallelism splitting the O(B S S H) domain
+        across chips (parallel/mesh.py shard_dim; no-op outside a mesh,
+        and skipped on the ``block_rows`` path, which bounds the
+        workspace a different way).
     Returns sigmoid(leaky(x_left[s] + x_right[t] + b1) @ w2 + b2): [B, S, S].
     """
     B, S, H = x_left.shape
@@ -66,7 +74,7 @@ def pairwise_mlp_scores(x_left: Array, x_right: Array, w2: Array, b2: Array,
         rows = jax.checkpoint(rows)
 
     if block_rows is None or block_rows >= S:
-        return rows(x_left)
+        return shard_dim(rows(x_left), 2, seq_axis)
     nb = -(-S // block_rows)
     pad = nb * block_rows - S
     xl = jnp.pad(x_left, ((0, 0), (0, pad), (0, 0)))

@@ -214,6 +214,52 @@ def shard_params_fsdp(params, mesh: Mesh, min_size: int = 1 << 12,
         fsdp_shardings(params, mesh, min_size, tp_rules))
 
 
+# ---------------------------------------------------------------------------
+# Sequence parallelism (activation sharding) for the CT attention domain.
+#
+# The reference has no SP (SURVEY.md §2.5) — its only sequence-like axis
+# is the S = K*h*w causal-variable axis inside CausalTransition, whose
+# O(S^2) pairwise scoring / GATv2 attention the reference handles with a
+# comp-vs-mem switch on ONE device (ct_mcq_vae.py:140-174). The
+# TPU-native scaling move is to split that domain ACROSS chips: pin the
+# target-node axis of the [B,S,T,H(,F)] attention/pairwise workspaces to
+# the ``model`` mesh axis and let XLA partition the producing fusions —
+# each chip walks only its T-block, and the only communication is the
+# small [B,T,HF] node-feature all-gather between GAT layers (Megatron-SP
+# applied to graph attention). Value-identical to the unsharded program.
+# ---------------------------------------------------------------------------
+
+def _context_mesh() -> Optional[Mesh]:
+    """The mesh of the surrounding ``with mesh:`` block (visible at jit
+    trace time), or None when tracing outside any mesh context."""
+    try:
+        from jax._src.mesh import thread_resources
+        m = thread_resources.env.physical_mesh
+        return None if m.empty else m
+    except Exception:
+        return None
+
+
+def shard_dim(x: jax.Array, dim: int, axis_name: Optional[str]) -> jax.Array:
+    """Constrain ONE dim of ``x`` to mesh axis ``axis_name``, leaving all
+    other dims UNCONSTRAINED (so batch/data sharding propagates freely).
+
+    A no-op when ``axis_name`` is falsy, when tracing outside a mesh
+    context, or when the context mesh lacks the axis / has it at size 1 —
+    so model code can call this unconditionally and stay runnable on a
+    single device and in unsharded unit tests. Uneven dims are fine
+    (GSPMD pads): the common CT target axis is T = S + 1 support node.
+    """
+    if not axis_name:
+        return x
+    mesh = _context_mesh()
+    if mesh is None or mesh.shape.get(axis_name, 1) <= 1:
+        return x
+    spec = [P.UNCONSTRAINED] * x.ndim
+    spec[dim] = axis_name
+    return jax.lax.with_sharding_constraint(x, P(*spec))
+
+
 def pin_state_shardings(step_fn, state):
     """Wrap a ``(state, batch) -> (state, metrics)`` step so the output
     state keeps ``state``'s current sharding layout.

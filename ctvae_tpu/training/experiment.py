@@ -74,22 +74,30 @@ class VAEXperiment:
         self.ckpt = ckpt_manager
         self.val_metrics = val_metrics
         self.train_metrics = train_metrics
+        # exp_params.sharding: "dp" (replicated params, the reference's
+        # DDP equivalent), "fsdp" (params + optimizer moments sharded
+        # over the data axis, ZeRO-3), or "sp" (sequence parallelism:
+        # the CT attention domain sharded over the `model` mesh axis —
+        # params stay replicated; run.py sets the model's seq_axis) —
+        # see ctvae_tpu/parallel/mesh.py
+        self.sharding = str(exp_params.get("sharding", "dp")).lower()
+        assert self.sharding in ("dp", "fsdp", "sp"), self.sharding
+        # exp_params.model_axis: size of the mesh `model` axis (devices
+        # per sequence-shard group); defaults to 2 under "sp"
+        self.model_axis = int(exp_params.get(
+            "model_axis", 2 if self.sharding == "sp" else 1))
         # exp_params.dcn_replicas: N > 1 builds a hybrid multi-slice mesh
         # (replica over DCN x data over ICI) — see make_hybrid_mesh
         dcn_replicas = int(exp_params.get("dcn_replicas", 1))
         if mesh is not None:
             self.mesh = mesh
         elif dcn_replicas > 1:
-            self.mesh = make_hybrid_mesh(dcn_replicas)
+            self.mesh = make_hybrid_mesh(dcn_replicas,
+                                         model_axis=self.model_axis)
         else:
-            self.mesh = make_mesh()
+            self.mesh = make_mesh(model_axis=self.model_axis)
         self.log_every = log_every
         self.kld_weight = float(exp_params.get("kld_weight", 1.0))
-        # exp_params.sharding: "dp" (replicated params, the reference's
-        # DDP equivalent) or "fsdp" (params + optimizer moments sharded
-        # over the data axis, ZeRO-3) — see ctvae_tpu/parallel/mesh.py
-        self.sharding = str(exp_params.get("sharding", "dp")).lower()
-        assert self.sharding in ("dp", "fsdp"), self.sharding
         # smallest leaf (elements) worth sharding — below this the
         # all-gather latency costs more than the memory saved
         self.fsdp_min_size = int(exp_params.get("fsdp_min_size", 1 << 12))
@@ -224,13 +232,17 @@ class VAEXperiment:
         n_opt = len(self.txs)
         t0 = time.perf_counter()
         images = 0
+        # the surrounding mesh context makes intra-model sharding
+        # constraints (sequence parallelism, shard_dim) resolvable at
+        # trace time; it is free for plain DP/FSDP steps
         for batch in prefetch_to_device(self.data.train_dataloader(epoch),
                                         self.mesh):
             mode = batch.pop("mode", "base")
             sbatch = batch
-            for opt_idx in range(n_opt):
-                step = self._train_step(mode, opt_idx)
-                self.state, metrics = step(self.state, sbatch)
+            with self.mesh:
+                for opt_idx in range(n_opt):
+                    step = self._train_step(mode, opt_idx)
+                    self.state, metrics = step(self.state, sbatch)
             images += int(sbatch["image"].shape[0])
             self.global_step += 1
             if self.logger is not None and \
@@ -254,7 +266,8 @@ class VAEXperiment:
         for batch in prefetch_to_device(self.data.val_dataloader(epoch),
                                         self.mesh):
             mode = batch.pop("mode", "base")
-            metrics = self._eval_step(mode)(self.state, batch)
+            with self.mesh:   # see train_epoch: resolves shard_dim specs
+                metrics = self._eval_step(mode)(self.state, batch)
             for k, v in jax.device_get(metrics).items():
                 if np.ndim(v) == 0:
                     sums[k] = sums.get(k, 0.0) + float(v)

@@ -71,6 +71,15 @@ def main():
         exp_params.setdefault("accumulate_grad_batches",
                               trainer_params.pop("accumulate_grad_batches"))
 
+    # exp_params.sharding: "sp" — sequence parallelism: the CT model's
+    # O(S^2) attention/pairwise domains shard over the mesh's `model`
+    # axis (ctvae_tpu/parallel/mesh.py shard_dim). The model needs
+    # seq_axis="model" at construction; build_model drops the key for
+    # models without the field (they have no sequence axis to shard).
+    if str(exp_params.get("sharding", "")).lower() == "sp":
+        model_params = dict(model_params)
+        model_params.setdefault("seq_axis", "model")
+
     seed = int(exp_params.get("manual_seed", 1265))
     np.random.seed(seed)
 

@@ -111,6 +111,38 @@ def test_fit_hybrid_mesh_trains(tmp_path):
     assert n_sharded >= 5
 
 
+def test_fit_sp_trains_all_modes(tmp_path):
+    """exp_params.sharding: sp — sequence parallelism through the full
+    orchestrated loop (run.py injects the model's seq_axis the same
+    way): the mesh grows a model axis, the CT attention domains carry
+    their shard_dim constraints (resolved by the mesh context the
+    trainer now enters around each step), params stay replicated, and
+    training over every batch mode stays finite."""
+    import jax
+
+    from ctvae_tpu.parallel import DATA_AXIS, MODEL_AXIS
+
+    exp, _ = _tiny_experiment(
+        tmp_path, dataset="TSynthetic",
+        model_params={"name": "CTMCQVAE", "in_channels": 3,
+                      "embedding_dim": 8, "action_dim": 8,
+                      "num_embeddings": 8, "hidden_dims": [8, 16],
+                      "img_size": 16, "codebooks": 2,
+                      "causal_hidden_dims": [16, 8],
+                      "seq_axis": "model"},
+        exp_params={"LR": 1e-3, "kld_weight": 0.005, "sharding": "sp"})
+    assert exp.mesh.shape[MODEL_AXIS] == 2
+    assert exp.mesh.shape[DATA_AXIS] == 4
+    exp.data.train_batch_size = 8
+    exp.data.val_batch_size = 8
+    val = exp.fit(max_epochs=1)
+    assert np.isfinite(val["val_loss"])
+    assert val["val_mode_id"] > 0.5, val   # every mode dispatched
+    # SP shards activations, not weights
+    assert all(p.sharding.is_fully_replicated
+               for p in jax.tree_util.tree_leaves(exp.state.params))
+
+
 def test_weights_only_restore_roundtrip(tmp_path):
     exp, ckpt = _tiny_experiment(tmp_path)
     exp.fit(max_epochs=1)
