@@ -15,6 +15,8 @@ single-knob replacement for the reference's comp/mem switch).
 
 from __future__ import annotations
 
+import functools
+import os
 from typing import Optional
 
 import jax
@@ -23,6 +25,77 @@ import jax.numpy as jnp
 from ..parallel.mesh import shard_dim
 
 Array = jax.Array
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def fused_pairwise_scores(xl: Array, xr: Array, w2: Array, b1: Array,
+                          b2: Array, ns: float) -> Array:
+    """``sigmoid(sum_h leaky(xl_s + xr_t + b1) * w2 + b2)`` with a
+    hand-written ONE-WALK backward.
+
+    The ``jax.checkpoint`` form recomputes the [B, S, T, H] pre-activation
+    once per gradient reduction (~4 separate loop fusions over the full
+    domain — the same pathology ops/gat.py ``fused_gat_logits`` fixes for
+    the attention logits; at the causal virtual batch this domain is
+    ~1.3 GB per walk). Here the residual is the forward's own [B, S, T]
+    output (free — it IS the return value), the sigmoid gradient is the
+    cheap ``out * (1 - out)``, and ONE recomputation of the domain yields
+    all five input gradients as multi-output-fusable reductions: 2 total
+    walks (1 fwd + 1 bwd), the exact-gradient floor.
+
+    xl [B,S,H], xr [B,T,H], w2 [H] or [B,H], b1 [H] or [B,H],
+    b2 scalar or [B]. Returns [B, S, T].
+    """
+    pre = (xl[:, :, None, :] + xr[:, None, :, :]
+           + _bh(b1))
+    act = jnp.where(pre >= 0, pre, ns * pre)
+    z = jnp.sum(act * _bh(w2), axis=-1) + _b(b2)
+    return jax.nn.sigmoid(z)
+
+
+def _bh(p: Array) -> Array:
+    """[H] -> [H] (broadcasts) or [B,H] -> [B,1,1,H] against [B,S,T,H]."""
+    return p[:, None, None, :] if p.ndim == 2 else p
+
+
+def _b(p: Array) -> Array:
+    """scalar stays scalar; [B] -> [B,1,1] against [B,S,T]."""
+    return p[:, None, None] if p.ndim == 1 else p
+
+
+def _fps_fwd(xl, xr, w2, b1, b2, ns):
+    out = fused_pairwise_scores(xl, xr, w2, b1, b2, ns)
+    return out, (xl, xr, w2, b1, b2, out)
+
+
+def _fps_bwd(ns, res, d_out):
+    xl, xr, w2, b1, b2, out = res
+    d_z = d_out * out * (1.0 - out)                      # [B,S,T]
+    pre = (xl[:, :, None, :] + xr[:, None, :, :] + _bh(b1))
+    slope = jnp.where(pre >= 0, jnp.asarray(1.0, pre.dtype),
+                      jnp.asarray(ns, pre.dtype))
+    dpre = d_z[..., None] * _bh(w2) * slope              # [B,S,T,H]
+    d_xl = jnp.sum(dpre, axis=2)                         # [B,S,H]
+    d_xr = jnp.sum(dpre, axis=1)                         # [B,T,H]
+    act = jnp.where(pre >= 0, pre, ns * pre)
+    w_axes = (1, 2) if w2.ndim == 2 else (0, 1, 2)
+    d_w2 = jnp.sum(act * d_z[..., None], axis=w_axes)
+    b1_axes = (1, 2) if b1.ndim == 2 else (0, 1, 2)
+    d_b1 = jnp.sum(dpre, axis=b1_axes)
+    # b2 enters z additively: its grad is d_z summed over the axes it
+    # broadcast across
+    d_b2 = jnp.sum(d_z, axis=(1, 2)) if b2.ndim == 1 else jnp.sum(d_z)
+    return d_xl, d_xr, d_w2, d_b1, d_b2
+
+
+fused_pairwise_scores.defvjp(_fps_fwd, _fps_bwd)
+
+
+def _onewalk_enabled() -> bool:
+    """CTVAE_PAIRWISE_ONEWALK routes the fused pairwise backward through
+    the one-walk custom VJP above instead of ``jax.checkpoint``
+    recompute. 0 restores the checkpointed form (same values/grads)."""
+    return os.environ.get("CTVAE_PAIRWISE_ONEWALK", "1") != "0"
 
 
 # Above this size the [B, S, S, H] pre-activation switches from the MXU
@@ -59,8 +132,14 @@ def pairwise_mlp_scores(x_left: Array, x_right: Array, w2: Array, b2: Array,
         fused = (B * S * S * H * x_left.dtype.itemsize
                  > _FUSED_PAIRWISE_BYTES)
     w2b = jnp.broadcast_to(w2, (B, H)) if w2.ndim <= 2 else w2
+    onewalk = fused and _onewalk_enabled()
 
     def rows(chunk):  # chunk: [B, C, H] of left rows
+        if onewalk:
+            # one-walk custom-VJP backward (see fused_pairwise_scores)
+            return fused_pairwise_scores(chunk, x_right, w2b,
+                                         jnp.asarray(b1), jnp.asarray(b2),
+                                         negative_slope)
         pre = chunk[:, :, None, :] + x_right[:, None, :, :] + b1[..., None, None, :]
         act = jax.nn.leaky_relu(pre, negative_slope)
         if fused:
@@ -70,7 +149,7 @@ def pairwise_mlp_scores(x_left: Array, x_right: Array, w2: Array, b2: Array,
         return jax.nn.sigmoid(
             jnp.einsum("bcth,bh->bct", act, w2b) + b2[..., None, None])
 
-    if fused:
+    if fused and not onewalk:
         rows = jax.checkpoint(rows)
 
     if block_rows is None or block_rows >= S:

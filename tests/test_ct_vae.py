@@ -86,6 +86,48 @@ def _ct_module():
     return CausalTransition(input_dim=8, action_dim=4, latent_dims=(16, 8))
 
 
+def test_pairwise_onewalk_matches_checkpoint(monkeypatch):
+    """CTVAE_PAIRWISE_ONEWALK (one-walk custom-VJP backward for the
+    fused pairwise scorer) is value- and gradient-identical to the
+    checkpointed recompute form, for both the shared ([H] w2, scalar b2)
+    and per-sample ([B,H] w2, [B] b2) parameter shapes."""
+    from ctvae_tpu.ops.pairwise import pairwise_mlp_scores
+
+    rng = np.random.RandomState(11)
+    B, S, H = 3, 6, 5
+    xl = jnp.asarray(rng.randn(B, S, H), jnp.float32)
+    xr = jnp.asarray(rng.randn(B, S, H), jnp.float32)
+    cases = {
+        "shared": (jnp.asarray(rng.randn(H), jnp.float32),
+                   jnp.float32(0.3),
+                   jnp.asarray(rng.randn(H), jnp.float32)),
+        "per_sample": (jnp.asarray(rng.randn(B, H), jnp.float32),
+                       jnp.asarray(rng.randn(B), jnp.float32),
+                       jnp.asarray(rng.randn(B, H), jnp.float32)),
+    }
+    for name, (w2, b2, b1) in cases.items():
+        def loss(xl_, xr_, w2_, b2_, b1_):
+            out = pairwise_mlp_scores(xl_, xr_, w2_, b2_, b1_, fused=True)
+            return jnp.sum(jnp.sin(3.0 * out))
+
+        got = {}
+        for env in ("0", "1"):
+            monkeypatch.setenv("CTVAE_PAIRWISE_ONEWALK", env)
+            got[env] = (
+                pairwise_mlp_scores(xl, xr, w2, b2, b1, fused=True),
+                jax.grad(loss, argnums=(0, 1, 2, 3, 4))(xl, xr, w2, b2, b1),
+            )
+        for a, b in zip(jax.tree_util.tree_leaves(got["0"]),
+                        jax.tree_util.tree_leaves(got["1"])):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-6, atol=1e-6, err_msg=name)
+        # and both match the plain einsum (non-fused) form
+        monkeypatch.setenv("CTVAE_PAIRWISE_ONEWALK", "1")
+        plain = pairwise_mlp_scores(xl, xr, w2, b2, b1, fused=False)
+        np.testing.assert_allclose(np.asarray(got["1"][0]),
+                                   np.asarray(plain), rtol=1e-5, atol=1e-6)
+
+
 def test_causal_transition_modes():
     ct = _ct_module()
     B, S, N = 2, 6, 8
