@@ -440,6 +440,7 @@ class CTMCQVAE(BaseVAE):
     c_delta: float = 0.4
     c_epsilon: float = 0.4
     slicing: str = "chunk"
+    grad_estimator: str = "ste"   # "ste" (reference) | "rotation"
     pairwise_block_rows: Optional[int] = None
     gat_block_cols: int = 0
     ct_dropout_rate: float = 0.1   # PE dropout (reference
@@ -462,7 +463,8 @@ class CTMCQVAE(BaseVAE):
         self.encoder = VQEncoder(hd, self.embedding_dim, dtype=self.dtype)
         self.vq_layer = MultipleCodebookVectorQuantizer(
             self.num_embeddings, self.embedding_dim, self.codebooks,
-            self.beta, slicing=self.slicing)
+            self.beta, slicing=self.slicing,
+            grad_estimator=self.grad_estimator)
         self.ct_layer = CausalTransition(
             input_dim=self.num_embeddings, action_dim=self.action_dim,
             latent_dims=self.causal_hidden_dims, noise=self.noise,

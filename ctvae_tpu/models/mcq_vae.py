@@ -25,6 +25,7 @@ class MCQVAE(BaseVAE):
     img_size: int = 64
     codebooks: int = 1
     slicing: str = "chunk"
+    grad_estimator: str = "ste"   # "ste" (reference) | "rotation"
     dtype: jnp.dtype = jnp.float32
 
     @property
@@ -42,7 +43,8 @@ class MCQVAE(BaseVAE):
         self.encoder = VQEncoder(hd, self.embedding_dim, dtype=self.dtype)
         self.vq_layer = MultipleCodebookVectorQuantizer(
             self.num_embeddings, self.embedding_dim, self.codebooks,
-            self.beta, slicing=self.slicing)
+            self.beta, slicing=self.slicing,
+            grad_estimator=self.grad_estimator)
         self.decoder = VQDecoder(hd, out_channels=self.in_channels,
                                  dtype=self.dtype)
 

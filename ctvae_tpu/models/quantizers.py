@@ -36,12 +36,48 @@ def _uniform_init(scale: float):
     return init
 
 
+def rotate_to(e: Array, q: Array, eps: float = 1e-6) -> Array:
+    """Rotation trick (Fifty et al., arXiv:2410.06424 — PAPERS.md):
+    returns ``q`` in VALUE, but the gradient w.r.t. ``e`` is
+    ``sg[lambda * R]`` — the rotation-and-rescale carrying ``e`` onto
+    ``q`` — instead of the straight-through identity. Gradients then
+    preserve their angle to the quantized vector, which the paper shows
+    improves codebook usage and reconstruction across VQ-VAEs.
+
+    ``R e`` is evaluated as ``e - 2 r (r.e) + 2 qhat (ehat.e)`` with
+    ``r = (ehat + qhat)/|ehat + qhat|`` (two Householder reflections —
+    O(D) per vector, no matrix is materialized); ``lambda, r, qhat,
+    ehat`` are constants (stop_gradient). Norm math runs in float32 for
+    bf16 operands. Beyond the reference (its VQ uses STE only,
+    /root/reference/models/vq_vae.py:52-55).
+    """
+    sg = jax.lax.stop_gradient
+    dt = e.dtype
+    e32, q32 = e.astype(jnp.float32), q.astype(jnp.float32)
+    en = jnp.linalg.norm(e32, axis=-1, keepdims=True)
+    qn = jnp.linalg.norm(q32, axis=-1, keepdims=True)
+    ehat = e32 / jnp.maximum(en, eps)
+    qhat = q32 / jnp.maximum(qn, eps)
+    r = ehat + qhat
+    # antiparallel e/q (r ~ 0): any reflection plane through the
+    # bisector works; eps floors the norm and the value stays exact
+    # because the qhat term alone already lands on q there
+    r = r / jnp.maximum(jnp.linalg.norm(r, axis=-1, keepdims=True), eps)
+    lam = (qn / jnp.maximum(en, eps)).astype(dt)
+    ehat, qhat, r = (sg(x.astype(dt)) for x in (ehat, qhat, r))
+    rot = (e - 2.0 * r * jnp.sum(r * e, axis=-1, keepdims=True)
+           + 2.0 * qhat * jnp.sum(ehat * e, axis=-1, keepdims=True))
+    return sg(lam) * rot
+
+
 class VectorQuantizerMS(nn.Module):
     """Single codebook; inds search separated from latent retrieval."""
 
     num_embeddings: int
     embedding_dim: int
     beta: float = 0.25
+    grad_estimator: str = "ste"   # "ste" (reference) | "rotation"
+                                  # (rotate_to — arXiv:2410.06424)
 
     def setup(self):
         self.embedding = self.param(
@@ -62,7 +98,10 @@ class VectorQuantizerMS(nn.Module):
         commitment = mse_loss(jax.lax.stop_gradient(quantized), latents)
         embedding_loss = mse_loss(quantized, jax.lax.stop_gradient(latents))
         vq_loss = commitment * self.beta + embedding_loss
-        st = latents + jax.lax.stop_gradient(quantized - latents)
+        if self.grad_estimator == "rotation":
+            st = rotate_to(latents, jax.lax.stop_gradient(quantized))
+        else:
+            st = latents + jax.lax.stop_gradient(quantized - latents)
         return st, vq_loss
 
     def __call__(self, latents: Array, inds: bool = False):
@@ -81,13 +120,15 @@ class MultipleCodebookVectorQuantizer(nn.Module):
     codebooks: int = 1
     beta: float = 0.25
     slicing: str = "chunk"          # "chunk" (intent) | "overlap" (reference)
+    grad_estimator: str = "ste"     # "ste" | "rotation" (see rotate_to)
 
     def setup(self):
         assert self.embedding_dim % self.codebooks == 0
         rd = self.embedding_dim // self.codebooks
         self.reduced_embedding_dim = rd
         self.quantizers = [
-            VectorQuantizerMS(self.num_embeddings, rd, self.beta)
+            VectorQuantizerMS(self.num_embeddings, rd, self.beta,
+                              grad_estimator=self.grad_estimator)
             for _ in range(self.codebooks)]
 
     def _sub(self, latents: Array, i: int) -> Array:

@@ -23,6 +23,7 @@ class VQVAE(BaseVAE):
     hidden_dims: Optional[Sequence[int]] = None
     beta: float = 0.25
     img_size: int = 64
+    grad_estimator: str = "ste"   # "ste" (reference) | "rotation"
     dtype: jnp.dtype = jnp.float32
 
     @property
@@ -33,7 +34,8 @@ class VQVAE(BaseVAE):
         hd = self._hdims
         self.encoder = VQEncoder(hd, self.embedding_dim, dtype=self.dtype)
         self.vq_layer = VectorQuantizerMS(self.num_embeddings,
-                                          self.embedding_dim, self.beta)
+                                          self.embedding_dim, self.beta,
+                                          grad_estimator=self.grad_estimator)
         self.decoder = VQDecoder(hd, out_channels=self.in_channels,
                                  dtype=self.dtype)
 
