@@ -89,22 +89,36 @@ class CheckpointManager:
         else:
             self._write(host_state, step, metrics)
 
+    def _save_atomic(self, ckpt, path: str, host_state) -> None:
+        """Write a checkpoint directory crash-safely: save to a tmp dir,
+        then swap it in via rename (atomic on one filesystem). A hard
+        kill (real preemption is SIGKILL — the non-daemon writer thread
+        only covers Python-level crashes) at any instant leaves either
+        the complete old directory or the complete new one at ``path``
+        (or, in the one instant between the two renames, the old one at
+        ``path + '.old'`` — see the restore() fallback)."""
+        tmp, old = path + ".tmp", path + ".old"
+        for d in (tmp, old):
+            if os.path.exists(d):
+                shutil.rmtree(d)
+        ckpt.save(tmp, host_state)
+        if os.path.exists(path):
+            os.rename(path, old)
+        os.rename(tmp, path)
+        shutil.rmtree(old, ignore_errors=True)
+
     def _write(self, host_state, step: int,
                metrics: Optional[Dict[str, float]]) -> None:
         ckpt = _checkpointer()
         last = os.path.join(self.dir, "last")
-        if os.path.exists(last):
-            shutil.rmtree(last)
-        ckpt.save(last, host_state)
+        self._save_atomic(ckpt, last, host_state)
 
         score = None if metrics is None else metrics.get(self.monitor)
         if score is None:
             self._write_index()
             return
         path = os.path.join(self.dir, f"step_{step}")
-        if os.path.exists(path):
-            shutil.rmtree(path)
-        ckpt.save(path, host_state)
+        self._save_atomic(ckpt, path, host_state)
         best = self._index["best"]
         best.append({"step": step, "score": float(score), "path": path})
         best.sort(key=lambda e: e["score"])
@@ -122,6 +136,11 @@ class CheckpointManager:
         path = {"last": os.path.join(self.dir, "last"),
                 "best": self._index["best"][0]["path"]
                 if self._index["best"] else None}.get(which, which)
+        if path is not None and not os.path.exists(path) \
+                and os.path.exists(path + ".old"):
+            # a preemption landed between _save_atomic's two renames:
+            # the previous complete checkpoint is parked at .old
+            path = path + ".old"
         if path is None or not os.path.exists(path):
             raise FileNotFoundError(f"no checkpoint at {path!r}")
         return _checkpointer().restore(os.path.abspath(path), item=target)

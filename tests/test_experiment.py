@@ -436,6 +436,41 @@ def test_async_checkpointing_matches_sync(tmp_path):
     asy.wait()  # the exception is raised once, then cleared
 
 
+def test_checkpoint_writes_are_atomic(tmp_path):
+    """'last' is replaced via tmp-dir + rename swap: no intermediate
+    state of a save can lose the previous complete checkpoint to a hard
+    kill (real preemption is SIGKILL), and restore() falls back to the
+    parked '.old' directory if the kill landed between the two renames."""
+    from ctvae_tpu.utils import CheckpointManager
+
+    s1 = {"params": {"w": np.arange(4, dtype=np.float32)}}
+    s2 = {"params": {"w": np.arange(4, dtype=np.float32) * 3}}
+
+    cm = CheckpointManager(str(tmp_path / "ck"), top_k=1)
+    cm.save(s1, 1, metrics={"val_Reconstruction_Loss": 1.0})
+    cm.save(s2, 2, metrics={"val_Reconstruction_Loss": 0.5})
+    # a completed save leaves no swap debris
+    assert sorted(d for d in os.listdir(cm.dir) if d.startswith("last")) \
+        == ["last"]
+    assert not any(d.endswith((".tmp", ".old")) for d in os.listdir(cm.dir))
+
+    # kill between the two renames: old checkpoint parked at last.old
+    last = os.path.join(cm.dir, "last")
+    os.rename(last, last + ".old")
+    got = cm.restore(s1, which="last")
+    np.testing.assert_array_equal(got["params"]["w"], s2["params"]["w"])
+
+    # kill mid-save-to-tmp: garbage last.tmp must not break the next save
+    os.rename(last + ".old", last)
+    os.makedirs(last + ".tmp")
+    with open(os.path.join(last + ".tmp", "garbage"), "w") as f:
+        f.write("truncated write")
+    cm.save(s1, 3, metrics={"val_Reconstruction_Loss": 0.4})
+    got = cm.restore(s1, which="last")
+    np.testing.assert_array_equal(got["params"]["w"], s1["params"]["w"])
+    assert not os.path.exists(last + ".tmp")
+
+
 def test_preemption_checkpoints_and_resumes(tmp_path):
     """SIGTERM-style preemption: request_stop() mid-fit must write a
     resumable 'last' checkpoint, break the epoch loop, and a full-state
