@@ -32,7 +32,8 @@ from ..ops.gat import GATv2Stack
 from ..ops.pairwise import pairwise_mlp_scores
 from .backbones import VQDecoder, VQEncoder
 from .base import (Array, BaseVAE, ModelOutput, cross_entropy_from_probs, mse_loss, upcast32)
-from .quantizers import MultipleCodebookVectorQuantizer
+from .quantizers import (MultipleCodebookVectorQuantizer,
+                         codebook_perplexity)
 
 CLAMP_EPS = 1e-4
 
@@ -441,6 +442,9 @@ class CTMCQVAE(BaseVAE):
     c_epsilon: float = 0.4
     slicing: str = "chunk"
     grad_estimator: str = "ste"   # "ste" (reference) | "rotation"
+    ema: bool = False             # EMA codebook learning + optional
+    ema_decay: float = 0.99       # dead-code revival (opt-in, beyond
+    revive_threshold: float = 0.0  # the reference — see quantizers.py)
     pairwise_block_rows: Optional[int] = None
     gat_block_cols: int = 0
     ct_dropout_rate: float = 0.1   # PE dropout (reference
@@ -464,7 +468,9 @@ class CTMCQVAE(BaseVAE):
         self.vq_layer = MultipleCodebookVectorQuantizer(
             self.num_embeddings, self.embedding_dim, self.codebooks,
             self.beta, slicing=self.slicing,
-            grad_estimator=self.grad_estimator)
+            grad_estimator=self.grad_estimator, ema=self.ema,
+            ema_decay=self.ema_decay,
+            revive_threshold=self.revive_threshold)
         self.ct_layer = CausalTransition(
             input_dim=self.num_embeddings, action_dim=self.action_dim,
             latent_dims=self.causal_hidden_dims, noise=self.noise,
@@ -513,6 +519,10 @@ class CTMCQVAE(BaseVAE):
     def forward_base(self, x: Array, *, train: bool = False) -> ModelOutput:
         latents = self.encoder(x)
         inds = self.vq_layer.compute_inds(latents)
+        if self.ema and train:
+            # EMA stats track the ENCODER's assignments; decode below
+            # goes through CT-modified inds (see quantizers.update_stats)
+            self.vq_layer.update_stats(latents, inds)
         one_hot = self.ct_preprocess(inds)
         ct_seq, ct_reg, ct_metrics = self.ct_layer(one_hot, train=train)
         ct_loss = ct_reg + self.ct_layer.latent_loss(ct_seq, one_hot)
@@ -522,7 +532,9 @@ class CTMCQVAE(BaseVAE):
         recons = self.decoder(quantized)
         return {"recons": recons, "input": x, "vq_loss": vq_loss,
                 "ct_loss": ct_loss, "mode": "base",
-                "metrics": {**self._zero_metrics(0.0), **ct_metrics}}
+                "metrics": {**self._zero_metrics(0.0), **ct_metrics,
+                            "codebook_perplexity": codebook_perplexity(
+                                inds, self.num_embeddings)}}
 
     def forward_action(self, x: Array, action: Array = None,
                        input_y: Array = None, *,
@@ -533,6 +545,8 @@ class CTMCQVAE(BaseVAE):
         latents2 = self.encoder(jnp.concatenate([x, input_y], axis=0))
         latents, latents_y = jnp.split(latents2, 2, axis=0)
         inds = self.vq_layer.compute_inds(latents)
+        if self.ema and train:
+            self.vq_layer.update_stats(latents, inds)
         one_hot = self.ct_preprocess(inds)
         ct_seq, ct_reg, ct_metrics = self.ct_layer.forward_action(
             one_hot, action, train=train)
@@ -546,7 +560,9 @@ class CTMCQVAE(BaseVAE):
         return {"recons": recons, "input": input_y,
                 "vq_loss": jnp.asarray(0.0), "ct_loss": ct_loss,
                 "mode": "action",
-                "metrics": {**self._zero_metrics(1.0), **ct_metrics}}
+                "metrics": {**self._zero_metrics(1.0), **ct_metrics,
+                            "codebook_perplexity": codebook_perplexity(
+                                inds, self.num_embeddings)}}
 
     def forward_causal(self, x: Array, input_y: Array = None,
                        action: Array = None, *,
@@ -555,6 +571,8 @@ class CTMCQVAE(BaseVAE):
         latents_x, latents_y = jnp.split(latents2, 2, axis=0)
         inds_x = self.vq_layer.compute_inds(latents_x)
         inds_y = self.vq_layer.compute_inds(latents_y)
+        if self.ema and train:
+            self.vq_layer.update_stats(latents_x, inds_x)
         probas, ct_reg, _ = self.ct_layer.forward_transition(
             self.ct_preprocess(inds_x), self.ct_preprocess(inds_y),
             train=train)
@@ -564,7 +582,9 @@ class CTMCQVAE(BaseVAE):
                 "vq_loss": jnp.asarray(0.0), "ct_loss": ct_reg,
                 "mode": "causal",
                 "metrics": {"causal_acc": acc, "causal_nodir_acc": nodir,
-                            "mode_id": jnp.asarray(2.0)}}
+                            "mode_id": jnp.asarray(2.0),
+                            "codebook_perplexity": codebook_perplexity(
+                                inds_x, self.num_embeddings)}}
 
     def __call__(self, x: Array, input_y: Array = None, action: Array = None,
                  mode: str = "base", *, train: bool = False,

@@ -13,7 +13,8 @@ import jax.numpy as jnp
 
 from .backbones import VQDecoder, VQEncoder
 from .base import Array, BaseVAE, ModelOutput, mse_loss
-from .quantizers import MultipleCodebookVectorQuantizer
+from .quantizers import (MultipleCodebookVectorQuantizer,
+                         codebook_perplexity)
 
 
 class MCQVAE(BaseVAE):
@@ -26,6 +27,9 @@ class MCQVAE(BaseVAE):
     codebooks: int = 1
     slicing: str = "chunk"
     grad_estimator: str = "ste"   # "ste" (reference) | "rotation"
+    ema: bool = False             # EMA codebook learning + optional
+    ema_decay: float = 0.99       # dead-code revival (opt-in, beyond
+    revive_threshold: float = 0.0  # the reference — see quantizers.py)
     dtype: jnp.dtype = jnp.float32
 
     @property
@@ -44,7 +48,9 @@ class MCQVAE(BaseVAE):
         self.vq_layer = MultipleCodebookVectorQuantizer(
             self.num_embeddings, self.embedding_dim, self.codebooks,
             self.beta, slicing=self.slicing,
-            grad_estimator=self.grad_estimator)
+            grad_estimator=self.grad_estimator, ema=self.ema,
+            ema_decay=self.ema_decay,
+            revive_threshold=self.revive_threshold)
         self.decoder = VQDecoder(hd, out_channels=self.in_channels,
                                  dtype=self.dtype)
 
@@ -56,9 +62,13 @@ class MCQVAE(BaseVAE):
 
     def __call__(self, x: Array, *, train: bool = False, **kwargs) -> ModelOutput:
         encoding = self.encode(x, train=train)[0]
-        quantized, vq_loss = self.vq_layer(encoding)
+        quantized, vq_loss, inds = self.vq_layer(encoding, inds=True,
+                                                 train=train)
+        # pooled over the C codebooks (each shares num_embeddings codes)
         return {"recons": self.decode(quantized, train=train), "input": x,
-                "vq_loss": vq_loss}
+                "vq_loss": vq_loss,
+                "perplexity": codebook_perplexity(inds,
+                                                  self.num_embeddings)}
 
     def sample(self, num_samples: int, *, train: bool = False) -> Array:
         """Random continuous z -> quantize -> decode (reference
@@ -73,5 +83,8 @@ class MCQVAE(BaseVAE):
     def loss_function(self, outputs: ModelOutput, **kwargs) -> Dict[str, Array]:
         recons_loss = mse_loss(outputs["recons"], outputs["input"])
         vq_loss = outputs["vq_loss"]
-        return {"loss": recons_loss + vq_loss,
-                "Reconstruction_Loss": recons_loss, "VQ_Loss": vq_loss}
+        out = {"loss": recons_loss + vq_loss,
+               "Reconstruction_Loss": recons_loss, "VQ_Loss": vq_loss}
+        if "perplexity" in outputs:   # absent from hand-built test dicts
+            out["Codebook_Perplexity"] = outputs["perplexity"]
+        return out

@@ -36,6 +36,18 @@ def _uniform_init(scale: float):
     return init
 
 
+def codebook_perplexity(inds: Array, num_embeddings: int) -> Array:
+    """exp(entropy) of the batch's code-assignment distribution — the
+    standard codebook-usage health metric (K = every code equally used,
+    1 = collapse). The reference logs nothing of the sort; with EMA mode
+    (and its revival knob) this is the signal to watch."""
+    counts = jnp.bincount(inds.reshape(-1).astype(jnp.int32),
+                          length=num_embeddings)
+    probs = counts / jnp.maximum(jnp.sum(counts), 1)
+    h = -jnp.sum(jnp.where(probs > 0, probs * jnp.log(probs), 0.0))
+    return jnp.exp(h)
+
+
 def rotate_to(e: Array, q: Array, eps: float = 1e-6) -> Array:
     """Rotation trick (Fifty et al., arXiv:2410.06424 — PAPERS.md):
     returns ``q`` in VALUE, but the gradient w.r.t. ``e`` is
@@ -71,42 +83,137 @@ def rotate_to(e: Array, q: Array, eps: float = 1e-6) -> Array:
 
 
 class VectorQuantizerMS(nn.Module):
-    """Single codebook; inds search separated from latent retrieval."""
+    """Single codebook; inds search separated from latent retrieval.
+
+    ``ema=True`` (opt-in, beyond the reference — its VQ trains the
+    codebook by the embedding loss only, /root/reference/models/vq_vae.py:46-52)
+    switches to exponential-moving-average codebook learning (van den
+    Oord 2017 appendix / VQ-VAE-2): the codebook, per-code assignment
+    counts and assigned-vector sums live in the mutable ``vq_stats``
+    collection instead of ``params``; each train step folds the batch's
+    assignment statistics into the EMA and re-normalizes with Laplace
+    smoothing. The loss keeps only the β commitment term. Under SPMD the
+    counts/sums reduce over the *globally sharded* batch axis inside
+    jit, so XLA inserts the cross-chip reduction and every replica
+    writes identical stats — no hand-rolled ``pmean``.
+
+    ``revive_threshold > 0`` additionally re-seeds dead codes (EMA count
+    below the threshold) from random encoder outputs of the current
+    batch — the standard fix for codebook collapse (jukebox-style
+    random restarts). Uses the ``noise`` RNG stream.
+    """
 
     num_embeddings: int
     embedding_dim: int
     beta: float = 0.25
     grad_estimator: str = "ste"   # "ste" (reference) | "rotation"
                                   # (rotate_to — arXiv:2410.06424)
+    ema: bool = False
+    ema_decay: float = 0.99
+    ema_eps: float = 1e-5
+    revive_threshold: float = 0.0
 
     def setup(self):
-        self.embedding = self.param(
-            "embedding", _uniform_init(1.0 / self.num_embeddings),
-            (self.num_embeddings, self.embedding_dim))
+        if self.ema:
+            K, D = self.num_embeddings, self.embedding_dim
+            self.ema_embed = self.variable(
+                "vq_stats", "embedding",
+                lambda: _uniform_init(1.0 / K)(
+                    self.make_rng("params"), (K, D)))
+            self.ema_cluster = self.variable(
+                "vq_stats", "cluster_size", lambda: jnp.zeros((K,)))
+            # initialized to the codebook itself so embed_avg/cluster
+            # stays consistent from step 0
+            self.ema_avg = self.variable(
+                "vq_stats", "embed_avg", lambda: self.ema_embed.value)
+        else:
+            self.embedding = self.param(
+                "embedding", _uniform_init(1.0 / self.num_embeddings),
+                (self.num_embeddings, self.embedding_dim))
+
+    @property
+    def codebook(self) -> Array:
+        return self.ema_embed.value if self.ema else self.embedding
 
     def compute_inds(self, latents: Array) -> Array:
         """[B, H, W, D] -> int32 [B, H, W] (no gradient)."""
         flat = latents.reshape(-1, self.embedding_dim)
         inds = l2_argmin(jax.lax.stop_gradient(flat),
-                         jax.lax.stop_gradient(self.embedding))
+                         jax.lax.stop_gradient(self.codebook))
         return inds.reshape(latents.shape[:-1])
 
-    def compute_latents(self, latents: Array, inds: Array) -> Tuple[Array, Array]:
+    def _ema_update(self, flat: Array, inds_flat: Array) -> None:
+        """Fold one batch's assignments into the EMA state (train only).
+
+        All stats math runs in float32 regardless of the model dtype.
+        The one-hot matmul form keeps both reductions on the MXU and —
+        with the batch axis sharded over the mesh — lets XLA emit the
+        global cross-chip sum."""
+        K = self.num_embeddings
+        flat = jax.lax.stop_gradient(flat).astype(jnp.float32)
+        one_hot = jax.nn.one_hot(inds_flat, K, dtype=jnp.float32)  # [N, K]
+        counts = jnp.sum(one_hot, axis=0)                          # [K]
+        dw = jnp.einsum("nk,nd->kd", one_hot, flat)                # [K, D]
+        d = self.ema_decay
+        cluster = d * self.ema_cluster.value + (1.0 - d) * counts
+        avg = d * self.ema_avg.value.astype(jnp.float32) + (1.0 - d) * dw
+        n = jnp.sum(cluster)
+        smoothed = (cluster + self.ema_eps) / (n + K * self.ema_eps) * n
+        embed = avg / smoothed[:, None]
+        if self.revive_threshold > 0.0:
+            dead = cluster < self.revive_threshold                 # [K]
+            pick = jax.random.randint(self.make_rng("noise"), (K,),
+                                      0, flat.shape[0])
+            repl = flat[pick]                                      # [K, D]
+            embed = jnp.where(dead[:, None], repl, embed)
+            avg = jnp.where(dead[:, None], repl, avg)
+            cluster = jnp.where(dead, jnp.ones_like(cluster), cluster)
+        dt = self.ema_embed.value.dtype
+        self.ema_embed.value = embed.astype(dt)
+        self.ema_avg.value = avg.astype(dt)
+        self.ema_cluster.value = cluster
+
+    def update_stats(self, latents: Array, inds: Array) -> None:
+        """Explicit EMA fold-in for callers that quantize with MODIFIED
+        indices (CTMCQVAE decodes through CT-transitioned inds,
+        ct_vae.py forward_base/forward_action): codebook statistics must
+        track the ENCODER's own nearest-neighbor assignments, so those
+        callers pass ``train=False`` to compute_latents and feed the raw
+        ``compute_inds`` result here instead."""
+        assert self.ema, "update_stats is an EMA-mode API"
+        self._ema_update(latents.reshape(-1, self.embedding_dim),
+                         inds.reshape(-1))
+
+    def compute_latents(self, latents: Array, inds: Array, *,
+                        train: bool = False) -> Tuple[Array, Array]:
         """Gather + VQ losses + straight-through estimator."""
-        quantized = jnp.take(self.embedding, inds.reshape(-1), axis=0)
+        codebook = self.codebook
+        quantized = jnp.take(codebook, inds.reshape(-1), axis=0)
         quantized = quantized.reshape(latents.shape)
         commitment = mse_loss(jax.lax.stop_gradient(quantized), latents)
-        embedding_loss = mse_loss(quantized, jax.lax.stop_gradient(latents))
-        vq_loss = commitment * self.beta + embedding_loss
+        if self.ema:
+            # the codebook is EMA-trained, not gradient-trained: no
+            # embedding loss, and the update only runs on train passes
+            # (eval applies are immutable — flax would reject the write)
+            vq_loss = commitment * self.beta
+            if train:
+                self._ema_update(latents.reshape(-1, self.embedding_dim),
+                                 inds.reshape(-1))
+        else:
+            embedding_loss = mse_loss(quantized,
+                                      jax.lax.stop_gradient(latents))
+            vq_loss = commitment * self.beta + embedding_loss
         if self.grad_estimator == "rotation":
             st = rotate_to(latents, jax.lax.stop_gradient(quantized))
         else:
             st = latents + jax.lax.stop_gradient(quantized - latents)
         return st, vq_loss
 
-    def __call__(self, latents: Array, inds: bool = False):
+    def __call__(self, latents: Array, inds: bool = False, *,
+                 train: bool = False):
         encoding_inds = self.compute_inds(latents)
-        quantized, vq_loss = self.compute_latents(latents, encoding_inds)
+        quantized, vq_loss = self.compute_latents(latents, encoding_inds,
+                                                  train=train)
         if inds:
             return quantized, vq_loss, encoding_inds
         return quantized, vq_loss
@@ -121,6 +228,10 @@ class MultipleCodebookVectorQuantizer(nn.Module):
     beta: float = 0.25
     slicing: str = "chunk"          # "chunk" (intent) | "overlap" (reference)
     grad_estimator: str = "ste"     # "ste" | "rotation" (see rotate_to)
+    ema: bool = False               # EMA codebook learning (see
+    ema_decay: float = 0.99         # VectorQuantizerMS)
+    ema_eps: float = 1e-5
+    revive_threshold: float = 0.0
 
     def setup(self):
         assert self.embedding_dim % self.codebooks == 0
@@ -128,7 +239,10 @@ class MultipleCodebookVectorQuantizer(nn.Module):
         self.reduced_embedding_dim = rd
         self.quantizers = [
             VectorQuantizerMS(self.num_embeddings, rd, self.beta,
-                              grad_estimator=self.grad_estimator)
+                              grad_estimator=self.grad_estimator,
+                              ema=self.ema, ema_decay=self.ema_decay,
+                              ema_eps=self.ema_eps,
+                              revive_threshold=self.revive_threshold)
             for _ in range(self.codebooks)]
 
     def _sub(self, latents: Array, i: int) -> Array:
@@ -143,18 +257,27 @@ class MultipleCodebookVectorQuantizer(nn.Module):
                 for i, q in enumerate(self.quantizers)]
         return jnp.stack(inds, axis=1)
 
-    def compute_latents(self, latents: Array, inds: Array) -> Tuple[Array, Array]:
+    def update_stats(self, latents: Array, inds: Array) -> None:
+        """Per-codebook EMA fold-in (see VectorQuantizerMS.update_stats);
+        ``inds`` is the stacked [B, C, H, W] from compute_inds."""
+        for i, q in enumerate(self.quantizers):
+            q.update_stats(self._sub(latents, i), inds[:, i])
+
+    def compute_latents(self, latents: Array, inds: Array, *,
+                        train: bool = False) -> Tuple[Array, Array]:
         outs, losses = [], []
         for i, q in enumerate(self.quantizers):
             sub_q, sub_loss = q.compute_latents(self._sub(latents, i),
-                                                inds[:, i])
+                                                inds[:, i], train=train)
             outs.append(sub_q)
             losses.append(sub_loss)
         return jnp.concatenate(outs, axis=-1), sum(losses)
 
-    def __call__(self, latents: Array, inds: bool = False):
+    def __call__(self, latents: Array, inds: bool = False, *,
+                 train: bool = False):
         encoding_inds = self.compute_inds(latents)
-        quantized, vq_loss = self.compute_latents(latents, encoding_inds)
+        quantized, vq_loss = self.compute_latents(latents, encoding_inds,
+                                                  train=train)
         if inds:
             return quantized, vq_loss, encoding_inds
         return quantized, vq_loss

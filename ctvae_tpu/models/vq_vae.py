@@ -13,7 +13,7 @@ import jax.numpy as jnp
 
 from .backbones import VQDecoder, VQEncoder
 from .base import Array, BaseVAE, ModelOutput, mse_loss
-from .quantizers import VectorQuantizerMS
+from .quantizers import VectorQuantizerMS, codebook_perplexity
 
 
 class VQVAE(BaseVAE):
@@ -24,6 +24,9 @@ class VQVAE(BaseVAE):
     beta: float = 0.25
     img_size: int = 64
     grad_estimator: str = "ste"   # "ste" (reference) | "rotation"
+    ema: bool = False             # EMA codebook learning + optional
+    ema_decay: float = 0.99       # dead-code revival (opt-in, beyond
+    revive_threshold: float = 0.0  # the reference — see quantizers.py)
     dtype: jnp.dtype = jnp.float32
 
     @property
@@ -33,9 +36,11 @@ class VQVAE(BaseVAE):
     def setup(self):
         hd = self._hdims
         self.encoder = VQEncoder(hd, self.embedding_dim, dtype=self.dtype)
-        self.vq_layer = VectorQuantizerMS(self.num_embeddings,
-                                          self.embedding_dim, self.beta,
-                                          grad_estimator=self.grad_estimator)
+        self.vq_layer = VectorQuantizerMS(
+            self.num_embeddings, self.embedding_dim, self.beta,
+            grad_estimator=self.grad_estimator, ema=self.ema,
+            ema_decay=self.ema_decay,
+            revive_threshold=self.revive_threshold)
         self.decoder = VQDecoder(hd, out_channels=self.in_channels,
                                  dtype=self.dtype)
 
@@ -47,12 +52,18 @@ class VQVAE(BaseVAE):
 
     def __call__(self, x: Array, *, train: bool = False, **kwargs) -> ModelOutput:
         encoding = self.encode(x, train=train)[0]
-        quantized, vq_loss = self.vq_layer(encoding)
+        quantized, vq_loss, inds = self.vq_layer(encoding, inds=True,
+                                                 train=train)
         return {"recons": self.decode(quantized, train=train), "input": x,
-                "vq_loss": vq_loss}
+                "vq_loss": vq_loss,
+                "perplexity": codebook_perplexity(inds,
+                                                  self.num_embeddings)}
 
     def loss_function(self, outputs: ModelOutput, **kwargs) -> Dict[str, Array]:
         recons_loss = mse_loss(outputs["recons"], outputs["input"])
         vq_loss = outputs["vq_loss"]
-        return {"loss": recons_loss + vq_loss,
-                "Reconstruction_Loss": recons_loss, "VQ_Loss": vq_loss}
+        out = {"loss": recons_loss + vq_loss,
+               "Reconstruction_Loss": recons_loss, "VQ_Loss": vq_loss}
+        if "perplexity" in outputs:   # absent from hand-built test dicts
+            out["Codebook_Perplexity"] = outputs["perplexity"]
+        return out

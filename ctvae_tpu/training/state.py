@@ -28,8 +28,9 @@ class TrainState(struct.PyTreeNode):
     """All mutable training state as one pytree.
 
     ``model_state`` holds every non-``params`` variable collection
-    (BatchNorm ``batch_stats``, frozen feature-network constants, ...);
-    only ``batch_stats`` is treated as mutable during the step.
+    (BatchNorm ``batch_stats``, EMA-quantizer ``vq_stats``, frozen
+    feature-network constants, ...); only ``batch_stats`` and
+    ``vq_stats`` are treated as mutable during the step.
 
     ``opt_states`` is a tuple to support adversarial models that train two
     parameter groups with two optimizers (reference FactorVAE,
@@ -111,14 +112,17 @@ def make_train_step(
         rngs = model_rngs(state.rng, state.step)
         kwargs = _batch_kwargs(batch, fwd_kwargs_keys)
         kwargs.update(static_fwd_kwargs)
-        has_bn = "batch_stats" in state.model_state
+        # collections the forward pass may write: BatchNorm running stats
+        # and (EMA-mode quantizers) the vq_stats codebook statistics
+        mut_cols = [c for c in ("batch_stats", "vq_stats")
+                    if c in state.model_state]
 
         def loss_fn(params):
             variables = {"params": params, **state.model_state}
-            if has_bn:
+            if mut_cols:
                 outputs, mutated = model.apply(
                     variables, batch["image"], train=True, rngs=rngs,
-                    step=state.step, mutable=["batch_stats"], **kwargs)
+                    step=state.step, mutable=mut_cols, **kwargs)
                 new_ms = {**state.model_state, **mutated}
             else:
                 outputs = model.apply(variables, batch["image"], train=True,

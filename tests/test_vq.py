@@ -156,3 +156,170 @@ def test_vq_models_train_rotation():
         step = jax.jit(make_train_step(model, txs, M_N=0.005))
         state2, metrics = step(state, batch)
         assert np.isfinite(float(metrics["loss"])), name
+
+
+# ---------------------------------------------------------------------------
+# EMA codebook learning + dead-code revival (opt-in, beyond the reference —
+# its VQ trains the codebook by embedding loss only, vq_vae.py:46-52)
+# ---------------------------------------------------------------------------
+
+def _ema_apply(q, vs, lat, rng_seed=0):
+    (_, loss), mut = q.apply(
+        vs, lat, train=True, mutable=["vq_stats"],
+        rngs={"noise": jax.random.PRNGKey(rng_seed)})
+    return loss, {"vq_stats": mut["vq_stats"]}
+
+
+def test_ema_codebook_tracks_batch_means():
+    """EMA mode: the codebook lives in vq_stats (NOT params — it is not
+    gradient-trained), the loss keeps only the commitment term, and
+    repeated updates pull assigned codes onto the data cluster means."""
+    q = VectorQuantizerMS(num_embeddings=4, embedding_dim=2,
+                          ema=True, ema_decay=0.5)
+    rng = np.random.default_rng(0)
+    a = rng.normal(size=(64, 2)) * 0.05 + np.array([2.0, 2.0])
+    b = rng.normal(size=(64, 2)) * 0.05 + np.array([-2.0, -2.0])
+    lat = jnp.asarray(np.concatenate([a, b]).astype(np.float32)
+                      .reshape(1, 16, 8, 2))
+    vs = q.init(jax.random.PRNGKey(0), lat)
+    assert "params" not in vs
+    assert set(vs["vq_stats"]) == {"embedding", "cluster_size", "embed_avg"}
+    for _ in range(30):
+        loss, vs = _ema_apply(q, vs, lat)
+        assert np.isfinite(float(loss))
+    emb = np.asarray(vs["vq_stats"]["embedding"])
+    assert np.abs(emb - np.array([2.0, 2.0])).sum(1).min() < 0.2
+    assert np.abs(emb + np.array([2.0, 2.0])).sum(1).min() < 0.2
+    # eval applies are immutable — an EMA-mode forward must not write
+    q.apply(vs, lat, train=False)
+
+
+def test_ema_dead_code_revival():
+    """revive_threshold: codes whose EMA count decays below the threshold
+    are re-seeded from random batch latents, so no code strands at the
+    (near-zero) init far from the data cloud."""
+    q = VectorQuantizerMS(num_embeddings=8, embedding_dim=2, ema=True,
+                          ema_decay=0.5, revive_threshold=0.1)
+    rng = np.random.default_rng(1)
+    data = (rng.normal(size=(128, 2)) * 0.1 + np.array([5.0, 5.0]))
+    lat = jnp.asarray(data.astype(np.float32).reshape(1, 16, 8, 2))
+    vs = q.init(jax.random.PRNGKey(0), lat)
+    for i in range(5):
+        _, vs = _ema_apply(q, vs, lat, rng_seed=i)
+    emb = np.asarray(vs["vq_stats"]["embedding"])
+    # every row (not just the winner) now sits on the data cloud
+    assert np.all(np.linalg.norm(emb - np.array([5.0, 5.0]), axis=1) < 1.0)
+
+    # without revival, the never-assigned codes stay near the origin
+    q0 = VectorQuantizerMS(num_embeddings=8, embedding_dim=2, ema=True,
+                           ema_decay=0.5)
+    vs0 = q0.init(jax.random.PRNGKey(0), lat)
+    for i in range(5):
+        _, vs0 = _ema_apply(q0, vs0, lat, rng_seed=i)
+    emb0 = np.asarray(vs0["vq_stats"]["embedding"])
+    assert np.any(np.linalg.norm(emb0 - np.array([5.0, 5.0]), axis=1) > 4.0)
+
+
+def test_ema_update_is_global_over_sharded_batch():
+    """The EMA fold-in reduces over the GLOBAL batch under SPMD: with the
+    batch sharded over the 8-device data axis, the updated stats are
+    identical to the single-device update (XLA inserts the cross-chip
+    reduction from the sharding annotations)."""
+    import chex
+    from ctvae_tpu.parallel import make_mesh, replicated
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    q = MultipleCodebookVectorQuantizer(num_embeddings=6, embedding_dim=4,
+                                        codebooks=2, ema=True,
+                                        ema_decay=0.9)
+    lat = jnp.asarray(np.random.default_rng(2).normal(
+        size=(16, 4, 4, 4)).astype(np.float32))
+    vs = q.init(jax.random.PRNGKey(0), lat)
+
+    def step(vs_, lat_):
+        _, mut = q.apply(vs_, lat_, train=True, mutable=["vq_stats"])
+        return mut["vq_stats"]
+
+    ref = jax.device_get(jax.jit(step)(vs, lat))
+    mesh = make_mesh()
+    lat_sh = jax.device_put(lat, NamedSharding(mesh, P("data")))
+    vs_rep = jax.device_put(vs, replicated(mesh))
+    got = jax.device_get(jax.jit(step)(vs_rep, lat_sh))
+    chex.assert_trees_all_close(ref, got, rtol=2e-6, atol=2e-6)
+
+
+def test_ema_models_train_and_mutate_vq_stats():
+    """Model-level integration: VQVAE/MCQVAE/CTMCQVAE with ema=True run
+    the jitted train step, the vq_stats collection moves, params carry no
+    codebook leaf, and eval steps leave the stats untouched."""
+    from ctvae_tpu.training import make_eval_step
+
+    rng = np.random.default_rng(3)
+    cases = [
+        ("VQVAE", dict(embedding_dim=8, num_embeddings=16,
+                       hidden_dims=(16, 32), img_size=16), {}),
+        ("MCQVAE", dict(embedding_dim=8, num_embeddings=16,
+                        hidden_dims=(16, 32), img_size=16, codebooks=2),
+         {}),
+        ("CTMCQVAE", dict(embedding_dim=8, num_embeddings=8, action_dim=4,
+                          hidden_dims=(8, 16), img_size=16, codebooks=2,
+                          causal_hidden_dims=(16, 8)),
+         {"action": jnp.asarray(np.eye(4, dtype=np.float32)[
+             rng.integers(0, 4, size=4)]),
+          "input_y": jnp.asarray(rng.uniform(
+              size=(4, 16, 16, 3)).astype(np.float32))}),
+    ]
+    for name, kwargs, extra in cases:
+        model = vae_models[name](in_channels=3, ema=True,
+                                 revive_threshold=0.01, **kwargs)
+        batch = {"image": jnp.asarray(rng.uniform(
+            size=(4, 16, 16, 3)).astype(np.float32)), **extra}
+        txs = [optax.adam(1e-3)]
+        state = create_train_state(model, jax.random.PRNGKey(0), batch,
+                                   txs, fwd_kwargs_keys=("action",
+                                                         "input_y"))
+        flat = jax.tree_util.tree_leaves_with_path(state.params)
+        assert not any("embedding" in str(p) for p, _ in flat), name
+        assert "vq_stats" in state.model_state, name
+        static = ({"mode": "action"} if name == "CTMCQVAE" else None)
+        step = jax.jit(make_train_step(
+            model, txs, M_N=0.005, fwd_kwargs_keys=("action", "input_y"),
+            static_fwd_kwargs=static))
+        before = jax.device_get(state.model_state["vq_stats"])
+        state2, metrics = step(state, batch)
+        assert np.isfinite(float(metrics["loss"])), name
+        after = jax.device_get(state2.model_state["vq_stats"])
+        changed = any(
+            not np.allclose(b, a) for b, a in zip(
+                jax.tree_util.tree_leaves(before),
+                jax.tree_util.tree_leaves(after)))
+        assert changed, f"{name}: vq_stats did not move on a train step"
+        ev = jax.jit(make_eval_step(
+            model, fwd_kwargs_keys=("action", "input_y"),
+            static_fwd_kwargs=static))
+        ev(state2, batch)  # immutable apply: must not raise
+
+
+def test_codebook_perplexity_bounds_and_values():
+    """exp-entropy of assignment counts: uniform usage -> K, collapse ->
+    1; forward passes surface it as Codebook_Perplexity."""
+    from ctvae_tpu.models.quantizers import codebook_perplexity
+
+    uniform = jnp.tile(jnp.arange(8, dtype=jnp.int32), 4)
+    np.testing.assert_allclose(
+        float(codebook_perplexity(uniform, 8)), 8.0, rtol=1e-6)
+    collapsed = jnp.zeros((32,), jnp.int32)
+    np.testing.assert_allclose(
+        float(codebook_perplexity(collapsed, 8)), 1.0, rtol=1e-6)
+
+    model = vae_models["VQVAE"](in_channels=3, embedding_dim=8,
+                                num_embeddings=16, hidden_dims=(16, 32),
+                                img_size=16)
+    batch = {"image": jnp.asarray(np.random.default_rng(7).uniform(
+        size=(4, 16, 16, 3)).astype(np.float32))}
+    txs = [optax.adam(1e-3)]
+    state = create_train_state(model, jax.random.PRNGKey(0), batch, txs)
+    step = jax.jit(make_train_step(model, txs, M_N=0.005))
+    _, metrics = step(state, batch)
+    p = float(metrics["Codebook_Perplexity"])
+    assert 1.0 <= p <= 16.0, p
