@@ -593,3 +593,42 @@ def test_scheduler_gamma_zero_matches_torch_semantics():
             assert moved > 0, i
         else:
             np.testing.assert_allclose(moved, 0.0, atol=1e-12)
+
+
+def test_fit_fsdp_with_ema_quantizer(tmp_path):
+    """EMA codebooks compose with FSDP: the vq_stats collection stays
+    replicated (it is EMA-written, not gradient-trained), moves during
+    fit, and survives a full-state resume into the sharded layout."""
+    import jax
+
+    mp = {"name": "VQVAE", "in_channels": 3, "embedding_dim": 8,
+          "num_embeddings": 16, "hidden_dims": [8, 16], "img_size": 16,
+          "ema": True, "revive_threshold": 0.01}
+    exp, _ = _tiny_experiment(
+        tmp_path, model_params=mp,
+        exp_params={"LR": 1e-3, "kld_weight": 0.005,
+                    "sharding": "fsdp", "fsdp_min_size": 64})
+    before = jax.device_get(exp.setup(
+        next(iter(exp.data.train_dataloader(0)))).model_state["vq_stats"])
+    val = exp.fit(max_epochs=1)
+    assert np.isfinite(val["val_loss"])
+    assert 1.0 <= val["val_Codebook_Perplexity"] <= 16.0
+    after = jax.device_get(exp.state.model_state["vq_stats"])
+    assert any(
+        not np.allclose(b, a)
+        for b, a in zip(jax.tree_util.tree_leaves(before),
+                        jax.tree_util.tree_leaves(after)))
+    for leaf in jax.tree_util.tree_leaves(exp.state.model_state):
+        assert leaf.sharding.is_fully_replicated
+
+    exp2, _ = _tiny_experiment(
+        tmp_path, model_params=mp,
+        exp_params={"LR": 1e-3, "kld_weight": 0.005,
+                    "sharding": "fsdp", "fsdp_min_size": 64})
+    exp2.setup(next(iter(exp2.data.train_dataloader(0))))
+    exp2.restore_full_state("last")
+    for a, b in zip(
+            jax.tree_util.tree_leaves(after),
+            jax.tree_util.tree_leaves(
+                jax.device_get(exp2.state.model_state["vq_stats"]))):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
