@@ -19,6 +19,16 @@ processes (CPU sweeps). The objective is the best
 ``val_Reconstruction_Loss`` — the same scalar Ray's
 ``TuneReportCallback`` monitors (:82-84). ``resources_per_trial`` is
 accepted and ignored (Ray-only knob).
+
+Early stopping: ``hyperparameter_search.scheduler: asha`` enables
+successive halving with Ray Tune ``ASHAScheduler``'s knob names —
+``grace_period`` (epochs every trial gets, default 1) and
+``reduction_factor`` (η, default 2). Every trial trains to the first
+rung's budget; the best ``1/η`` continue to an ``η``-times-larger
+budget, and so on until ``trainer_params.max_epochs``. Trials pause
+in-process (their train state stays live) and resume exactly where they
+stopped, so no epoch is retrained. Scheduler runs are sequential —
+pausing at rung boundaries requires the trials to share one process.
 """
 
 from __future__ import annotations
@@ -79,6 +89,45 @@ def select_best(results):
     return best if best is not None else (results[0] if results else None)
 
 
+def run_sha(num_trials: int, grace_period: int, reduction_factor: int,
+            max_t: int, train_to) -> list:
+    """Synchronous successive halving over ``num_trials`` trials.
+
+    ``train_to(trial_id, target_epochs) -> float | None`` continues the
+    trial's training up to ``target_epochs`` total epochs and returns
+    its current objective (lower is better), or None on failure. Rung
+    budgets are ``grace_period * reduction_factor**i`` epochs, capped at
+    ``max_t``; after each rung only the best ``1/reduction_factor``
+    survive (at least one). Failed trials are culled immediately.
+    Returns the trial ids alive after the final rung, best first.
+
+    This is the sequential analogue of Ray Tune's ``ASHAScheduler``
+    (arXiv:1810.05934) — synchronous because local trials share one
+    device, so there is no straggler problem for ASHA's asynchronous
+    promotion rule to solve.
+    """
+    eta = max(2, int(reduction_factor))
+    budget = max(1, int(grace_period))
+    max_t = max(1, int(max_t))
+    alive = list(range(num_trials))
+    while True:
+        budget = min(budget, max_t)
+        scores = []
+        for tid in alive:
+            loss = train_to(tid, budget)
+            if loss is None:
+                continue  # crashed trial: cull
+            scores.append((loss if math.isfinite(loss) else float("inf"),
+                           tid))
+        scores.sort(key=lambda s: s[0])
+        if budget >= max_t:
+            return [tid for _, tid in scores]
+        if not scores:
+            return []
+        alive = [tid for _, tid in scores[:max(1, len(scores) // eta)]]
+        budget *= eta
+
+
 def run_trial(trial_config: Dict[str, Any], trial_id: int,
               out_dir: str) -> Dict[str, float]:
     from ctvae_tpu.utils.platform import apply_platform_overrides
@@ -103,6 +152,40 @@ def run_trial(trial_config: Dict[str, Any], trial_id: int,
                     seed=int(trial_config["exp_params"].get(
                         "manual_seed", 0)) + trial_id)
     return {k: float(v) for k, v in final.items()}
+
+
+def continue_trial(trial_config: Dict[str, Any], trial_id: int,
+                   target_epochs: int, cache: Dict[int, Any]):
+    """Train trial ``trial_id`` up to ``target_epochs`` TOTAL epochs,
+    resuming the cached live experiment from where the previous rung
+    paused it (no epoch is retrained). Returns the final val metrics."""
+    from ctvae_tpu.utils.platform import apply_platform_overrides
+    apply_platform_overrides()
+
+    from ctvae_tpu.data import VAEDataset
+    from ctvae_tpu.models import build_model
+    from ctvae_tpu.training import VAEXperiment
+
+    if trial_id not in cache:
+        model = build_model(trial_config["model_params"])
+        data = VAEDataset(**trial_config["data_params"])
+        data.setup()
+        exp_params = dict(trial_config["exp_params"])
+        gcv = trial_config["trainer_params"].get("gradient_clip_val")
+        if gcv is not None:
+            exp_params.setdefault("gradient_clip_val", gcv)
+        cache[trial_id] = [VAEXperiment(model, exp_params, data), 0, {}]
+    exp, epochs_done, last = cache[trial_id]
+    if target_epochs <= epochs_done:
+        return last  # rung budget already reached (grace >= max_t)
+    exp.start_epoch = epochs_done
+    final = exp.fit(target_epochs,
+                    seed=int(trial_config["exp_params"].get(
+                        "manual_seed", 0)) + trial_id)
+    metrics = {k: float(v) for k, v in final.items()}
+    cache[trial_id][1] = target_epochs
+    cache[trial_id][2] = metrics
+    return metrics
 
 
 def _trial_entry(args):
@@ -167,6 +250,9 @@ def main():
             print(f"    trial {trial_id} failed: {err}")
             return
         loss = metrics.get("val_Reconstruction_Loss", float("inf"))
+        # a trial reports once per rung under the asha scheduler — keep
+        # only its latest entry
+        results[:] = [r for r in results if r["trial"] != trial_id]
         results.append({"trial": trial_id, "loss": loss,
                         "metrics": metrics,
                         "params": _searched(trials[trial_id], spec)})
@@ -177,7 +263,29 @@ def main():
         print(f"    trial {trial_id}: val_Reconstruction_Loss={loss:.5f} "
               f"(best={best['loss']:.5f} @ trial {best['trial']})")
 
-    if parallel > 1:
+    scheduler = str(hyp.get("scheduler", "fifo")).lower()
+    if scheduler in ("asha", "sha", "successive_halving"):
+        if parallel > 1:
+            print(f"--- scheduler: {scheduler} runs sequentially "
+                  "(pausing at rung boundaries keeps all trials in one "
+                  f"process); ignoring parallel_trials={parallel}")
+        grace = int(hyp.get("grace_period", 1))
+        eta = int(hyp.get("reduction_factor", 2))
+        max_t = int(config.get("trainer_params", {}).get("max_epochs", 10))
+        cache: Dict[int, Any] = {}
+
+        def train_to(tid, epochs):
+            try:
+                metrics = continue_trial(trials[tid], tid, epochs, cache)
+            except Exception as e:  # a bad draw must not kill the sweep
+                record(tid, None, repr(e))
+                return None
+            record(tid, metrics, None)
+            return metrics.get("val_Reconstruction_Loss", float("inf"))
+
+        survivors = run_sha(num_samples, grace, eta, max_t, train_to)
+        print(f"--- asha survivors (best first): {survivors}")
+    elif parallel > 1:
         # the honest Ray-actor replacement: one spawned process per
         # trial (own JAX runtime), N at a time
         import multiprocessing as mp

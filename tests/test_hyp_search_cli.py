@@ -76,6 +76,51 @@ def test_yaml_tuple_roundtrip(tmp_path):
     assert isinstance(loaded["exp_params"]["LR"], tuple)
 
 
+def test_run_sha_rungs_and_promotion():
+    """8 trials, grace 1, eta 2, max_t 8: rung budgets 1/2/4/8 epochs,
+    the best half survives each rung, budgets only ever increase (no
+    epoch retrained)."""
+    calls = []
+
+    def train_to(tid, epochs):
+        calls.append((tid, epochs))
+        return float(tid)  # trial i has stable loss i -> low ids win
+
+    survivors = hs.run_sha(8, 1, 2, 8, train_to)
+    assert survivors == [0]
+    budgets = {}
+    for tid, ep in calls:
+        budgets.setdefault(tid, []).append(ep)
+    assert all(b[0] == 1 for b in budgets.values())
+    assert sorted(t for t, b in budgets.items() if 2 in b) == [0, 1, 2, 3]
+    assert sorted(t for t, b in budgets.items() if 4 in b) == [0, 1]
+    assert budgets[0] == [1, 2, 4, 8]
+    for b in budgets.values():  # strictly increasing per trial
+        assert b == sorted(set(b))
+
+
+def test_run_sha_culls_failures_and_caps_budget():
+    """Crashed trials (None) are culled, NaN ranks last, and a
+    grace_period above max_t collapses to a single rung at max_t."""
+    def train_to(tid, epochs):
+        assert epochs == 3  # min(grace=5, max_t=3), single rung
+        if tid == 1:
+            return None
+        if tid == 2:
+            return float("nan")
+        return float(tid)
+
+    assert hs.run_sha(4, 5, 2, 3, train_to) == [0, 3, 2]
+
+
+def test_run_sha_lone_survivor_trains_to_max_t():
+    """A single trial (or lone rung survivor) still trains to max_t."""
+    seen = []
+    assert hs.run_sha(1, 1, 2, 10, lambda t, e: seen.append(e) or 0.0) \
+        == [0]
+    assert seen == [1, 2, 4, 8, 10]
+
+
 def _hyp_config(tmp, logdir):
     return {
         "model_params": {"name": "VanillaVAE", "in_channels": 3,
@@ -119,6 +164,36 @@ def test_hyp_search_end_to_end_inprocess(tmp_path, monkeypatch, capsys):
     for t in results["trials"]:
         assert t["params"]["model_params.latent_dim"] in (4, 8)
         assert 0.0005 <= t["params"]["exp_params.LR"] <= 0.002
+
+
+def test_hyp_search_asha_end_to_end_inprocess(tmp_path, monkeypatch,
+                                              capsys):
+    """scheduler: asha — 3 trials, grace 1, eta 2, max_epochs 2: all
+    three train 1 epoch, only the best survivor reaches 2 epochs, and
+    results.json keeps one (latest) entry per trial."""
+    tmp = str(tmp_path)
+    logdir = os.path.join(tmp, "logs")
+    cfg = _hyp_config(tmp, logdir)
+    cfg["trainer_params"]["max_epochs"] = 2
+    cfg["hyperparameter_search"].update(
+        {"num_samples": 3, "scheduler": "asha", "grace_period": 1,
+         "reduction_factor": 2})
+    path = os.path.join(tmp, "hyp_asha.yaml")
+    with open(path, "w") as f:
+        yaml.dump(cfg, f)
+
+    monkeypatch.setattr(sys, "argv", ["hyperparameter_search.py",
+                                      "-c", path])
+    hs.main()
+    out = capsys.readouterr().out
+    assert "asha survivors" in out and "=== best ===" in out
+
+    with open(os.path.join(logdir, "VanillaVAE", "hyp_search",
+                           "results.json")) as f:
+        results = json.load(f)
+    assert len(results["trials"]) == 3  # one entry per trial, no dups
+    assert results["best"]["loss"] == min(t["loss"]
+                                          for t in results["trials"])
 
 
 def test_hyp_search_parallel_trials(tmp_path, monkeypatch, capsys):
