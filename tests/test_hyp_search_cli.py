@@ -121,6 +121,26 @@ def test_run_sha_lone_survivor_trains_to_max_t():
     assert seen == [1, 2, 4, 8, 10]
 
 
+def test_shipped_hyp_configs_sample():
+    """Every configs_hyp YAML parses with full_load (tuples intact) and
+    its search spec draws a valid trial — every searched key exists and
+    every sampled leaf is a concrete scalar, not a leftover list/tuple."""
+    import glob
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    paths = sorted(glob.glob(os.path.join(repo, "configs_hyp", "*.yaml")))
+    assert paths
+    for path in paths:
+        with open(path) as f:
+            config = yaml.full_load(f)
+        hyp = config.pop("hyperparameter_search")
+        trial = hs.sample_params(config, hyp.get("params", {}),
+                                 random.Random(0))
+        for key, val in hs._searched(trial, hyp.get("params", {})).items():
+            assert not isinstance(val, (list, tuple)), (path, key, val)
+        sched = str(hyp.get("scheduler", "fifo")).lower()
+        assert sched in ("fifo", "asha", "sha", "successive_halving")
+
+
 def _hyp_config(tmp, logdir):
     return {
         "model_params": {"name": "VanillaVAE", "in_channels": 3,
