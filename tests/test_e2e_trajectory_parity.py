@@ -31,7 +31,7 @@ import pytest
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def _run_driver(model, timeout=1200):
+def _run_driver(model, timeout=2700):
     """Run the float64 side-by-side driver for one key (or several,
     comma-separated — one subprocess amortizes the ~1 min interpreter +
     import + reference-install startup over all of them). Returns the
@@ -123,7 +123,7 @@ ZOO_TOL = {"vamp": 1e-4}
 @pytest.mark.parametrize("group", sorted(ZOO_GROUPS))
 def test_zoo_trajectory_parity(group):
     keys = ZOO_GROUPS[group]
-    results = _run_driver(",".join(keys), timeout=1440)
+    results = _run_driver(",".join(keys), timeout=3000)
     failures = {}
     for key in keys:
         d = results[key]
@@ -143,7 +143,7 @@ def test_dfc_trajectory_parity():
     path). 5 steps at batch 2 — the float64 VGG forward+backward
     dominates the whole zoo's cost, and 5 Adam steps already pin the
     perceptual-loss gradient path."""
-    d = _run_driver("dfc", timeout=1480)
+    d = _run_driver("dfc", timeout=3000)
     assert d["steps"] == 5
     assert d["rel_diffs"][0] < 1e-12, d["rel_diffs"]
     assert d["max_rel_diff"] < 1e-5, d["rel_diffs"]

@@ -50,7 +50,7 @@ def test_two_process_training_matches_single_process(tmp_path):
     results = []
     for p in procs:
         try:
-            stdout, stderr = p.communicate(timeout=1200)
+            stdout, stderr = p.communicate(timeout=2700)
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()

@@ -154,7 +154,7 @@ def test_run_cli_subprocess_smoke(tmp_path):
         "--xla_force_host_platform_device_count=8", "").strip()
     r = subprocess.run([sys.executable, "run.py", "-c", path],
                        capture_output=True, text=True, cwd=REPO, env=env,
-                       timeout=600)
+                       timeout=1800)
     assert r.returncode == 0, r.stdout[-800:] + r.stderr[-2000:]
     assert "on 1 device(s)" in r.stdout, r.stdout[-800:]
     assert os.path.isdir(os.path.join(logdir, "vv", "version_0",
