@@ -23,12 +23,17 @@ accepted and ignored (Ray-only knob).
 Early stopping: ``hyperparameter_search.scheduler: asha`` enables
 successive halving with Ray Tune ``ASHAScheduler``'s knob names —
 ``grace_period`` (epochs every trial gets, default 1) and
-``reduction_factor`` (η, default 2). Every trial trains to the first
-rung's budget; the best ``1/η`` continue to an ``η``-times-larger
-budget, and so on until ``trainer_params.max_epochs``. Trials pause
-in-process (their train state stays live) and resume exactly where they
-stopped, so no epoch is retrained. Scheduler runs are sequential —
-pausing at rung boundaries requires the trials to share one process.
+``reduction_factor`` (η, default 2 — Ray's own default is 4; see
+MIGRATION.md). Every trial trains to the first rung's budget; the best
+``1/η`` continue to an ``η``-times-larger budget, and so on until
+``trainer_params.max_epochs``. With the default single process, trials
+pause in-process (their train state stays live) and resume exactly
+where they stopped, so no epoch is retrained; culled trials are evicted
+so held memory tracks the survivors, not ``num_samples``. With
+``parallel_trials: N`` (CPU sweeps), each rung's trials run as N
+concurrent spawned processes and cross-rung state rides the orbax
+checkpoint path — still no epoch retrained, at the cost of per-rung
+process startup + checkpoint IO.
 """
 
 from __future__ import annotations
@@ -90,7 +95,7 @@ def select_best(results):
 
 
 def run_sha(num_trials: int, grace_period: int, reduction_factor: int,
-            max_t: int, train_to) -> list:
+            max_t: int, train_to, rung_runner=None, on_cull=None) -> list:
     """Synchronous successive halving over ``num_trials`` trials.
 
     ``train_to(trial_id, target_epochs) -> float | None`` continues the
@@ -101,10 +106,18 @@ def run_sha(num_trials: int, grace_period: int, reduction_factor: int,
     survive (at least one). Failed trials are culled immediately.
     Returns the trial ids alive after the final rung, best first.
 
-    This is the sequential analogue of Ray Tune's ``ASHAScheduler``
-    (arXiv:1810.05934) — synchronous because local trials share one
-    device, so there is no straggler problem for ASHA's asynchronous
-    promotion rule to solve.
+    ``rung_runner(tids, budget) -> list[(tid, loss | None)]``, when
+    given, evaluates a whole rung at once (rung-parallel CPU sweeps);
+    otherwise trials run via ``train_to`` one by one. ``on_cull(tids)``
+    is called with every trial id dropped at a rung boundary (losers and
+    crashes) so the caller can release the trial's resources — live
+    device state held for culled trials scales memory with num_samples
+    otherwise.
+
+    This is the synchronous-rung analogue of Ray Tune's ``ASHAScheduler``
+    (arXiv:1810.05934) — synchronous because local trials either share
+    one device or advance in lock-step pools, so there is no straggler
+    problem for ASHA's asynchronous promotion rule to solve.
     """
     eta = max(2, int(reduction_factor))
     budget = max(1, int(grace_period))
@@ -112,19 +125,29 @@ def run_sha(num_trials: int, grace_period: int, reduction_factor: int,
     alive = list(range(num_trials))
     while True:
         budget = min(budget, max_t)
+        if rung_runner is not None:
+            outcomes = list(rung_runner(list(alive), budget))
+        else:
+            outcomes = [(tid, train_to(tid, budget)) for tid in alive]
         scores = []
-        for tid in alive:
-            loss = train_to(tid, budget)
+        for tid, loss in outcomes:
             if loss is None:
                 continue  # crashed trial: cull
             scores.append((loss if math.isfinite(loss) else float("inf"),
                            tid))
         scores.sort(key=lambda s: s[0])
         if budget >= max_t:
+            if on_cull:
+                on_cull(list(alive))  # sweep over: free every live trial
             return [tid for _, tid in scores]
         if not scores:
             return []
-        alive = [tid for _, tid in scores[:max(1, len(scores) // eta)]]
+        survivors = [tid for _, tid in scores[:max(1, len(scores) // eta)]]
+        if on_cull:
+            culled = [tid for tid in alive if tid not in survivors]
+            if culled:
+                on_cull(culled)
+        alive = survivors
         budget *= eta
 
 
@@ -197,6 +220,50 @@ def _trial_entry(args):
         return trial_id, None, repr(e)
 
 
+def _rung_entry(args):
+    """Top-level worker for rung-parallel ASHA (must be picklable).
+
+    Processes cannot pause in-memory between rungs, so cross-rung state
+    rides the production orbax checkpoint path instead: each rung's
+    worker restores the trial's ``last`` checkpoint (written by
+    ``fit``'s per-epoch save) and trains on to the rung budget — no
+    epoch is retrained, same contract as the in-process cache."""
+    trial_config, trial_id, target_epochs, ckpt_dir = args
+    try:
+        from ctvae_tpu.utils.platform import apply_platform_overrides
+        apply_platform_overrides()
+
+        from ctvae_tpu.data import VAEDataset
+        from ctvae_tpu.models import build_model
+        from ctvae_tpu.training import VAEXperiment
+        from ctvae_tpu.utils import CheckpointManager
+
+        model = build_model(trial_config["model_params"])
+        data = VAEDataset(**trial_config["data_params"])
+        data.setup()
+        exp_params = dict(trial_config["exp_params"])
+        gcv = trial_config["trainer_params"].get("gradient_clip_val")
+        if gcv is not None:
+            exp_params.setdefault("gradient_clip_val", gcv)
+        ckpt = CheckpointManager(ckpt_dir, top_k=1,
+                                 monitor="val_Reconstruction_Loss")
+        exp = VAEXperiment(model, exp_params, data, ckpt_manager=ckpt)
+        seed = int(trial_config["exp_params"].get("manual_seed", 0))
+        first = next(iter(data.train_dataloader(0)))
+        exp.setup(first, seed=seed + trial_id)
+        if os.path.exists(os.path.join(ckpt_dir, "last")):
+            exp.restore_full_state("last")
+        if exp.start_epoch >= target_epochs:
+            # rung budget already reached (grace >= max_t): report the
+            # checkpointed objective by re-running validation
+            metrics = exp.validate(exp.start_epoch)
+        else:
+            metrics = exp.fit(target_epochs, seed=seed + trial_id)
+        return trial_id, {k: float(v) for k, v in metrics.items()}, None
+    except Exception as e:
+        return trial_id, None, repr(e)
+
+
 def _searched(trial, spec):
     """Flatten the searched dimensions of one trial for reporting."""
     out = {}
@@ -245,9 +312,24 @@ def main():
 
     results = []
 
+    def _write_results():
+        best = select_best(results)
+        with open(os.path.join(out_dir, "results.json"), "w") as f:
+            json.dump({"best": best, "trials": results}, f, indent=2,
+                      default=str)
+        return best
+
     def record(trial_id, metrics, err):
         if err is not None:
             print(f"    trial {trial_id} failed: {err}")
+            # a trial that cleared an earlier rung then crashed must not
+            # stay competitive through its stale entry: flag it failed
+            # and push it out of best-selection
+            for r in results:
+                if r["trial"] == trial_id:
+                    r["loss"] = float("inf")
+                    r["failed"] = err
+            _write_results()
             return
         loss = metrics.get("val_Reconstruction_Loss", float("inf"))
         # a trial reports once per rung under the asha scheduler — keep
@@ -256,34 +338,78 @@ def main():
         results.append({"trial": trial_id, "loss": loss,
                         "metrics": metrics,
                         "params": _searched(trials[trial_id], spec)})
-        best = select_best(results)
-        with open(os.path.join(out_dir, "results.json"), "w") as f:
-            json.dump({"best": best, "trials": results}, f, indent=2,
-                      default=str)
+        best = _write_results()
         print(f"    trial {trial_id}: val_Reconstruction_Loss={loss:.5f} "
               f"(best={best['loss']:.5f} @ trial {best['trial']})")
 
     scheduler = str(hyp.get("scheduler", "fifo")).lower()
     if scheduler in ("asha", "sha", "successive_halving"):
-        if parallel > 1:
-            print(f"--- scheduler: {scheduler} runs sequentially "
-                  "(pausing at rung boundaries keeps all trials in one "
-                  f"process); ignoring parallel_trials={parallel}")
         grace = int(hyp.get("grace_period", 1))
+        # NOTE the default η here is 2; Ray Tune's ASHAScheduler defaults
+        # to 4 — ported configs relying on Ray's default must set
+        # reduction_factor: 4 explicitly (documented in MIGRATION.md).
         eta = int(hyp.get("reduction_factor", 2))
+        if eta < 2:
+            raise ValueError(
+                f"hyperparameter_search.reduction_factor must be >= 2 "
+                f"(got {eta}): successive halving keeps 1/η of each rung, "
+                f"which degenerates at η < 2")
         max_t = int(config.get("trainer_params", {}).get("max_epochs", 10))
-        cache: Dict[int, Any] = {}
+        rung_runner = None
+        train_to = None
+        if parallel > 1:
+            # rung-parallel CPU sweeps: each rung's surviving trials run
+            # as N concurrent spawned processes; cross-rung state rides
+            # the orbax checkpoint path (see _rung_entry)
+            import multiprocessing as mp
+            from concurrent.futures import ProcessPoolExecutor
+            ctx = mp.get_context("spawn")
+            print(f"--- scheduler: {scheduler} with rung-parallel "
+                  f"evaluation ({parallel} processes; trials resume from "
+                  "checkpoints at each rung)")
 
-        def train_to(tid, epochs):
-            try:
-                metrics = continue_trial(trials[tid], tid, epochs, cache)
-            except Exception as e:  # a bad draw must not kill the sweep
-                record(tid, None, repr(e))
-                return None
-            record(tid, metrics, None)
-            return metrics.get("val_Reconstruction_Loss", float("inf"))
+            def rung_runner(tids, budget):
+                outcomes = []
+                with ProcessPoolExecutor(max_workers=parallel,
+                                         mp_context=ctx) as pool:
+                    for tid, metrics, err in pool.map(
+                            _rung_entry,
+                            [(trials[t], t, budget,
+                              os.path.join(out_dir, f"trial_{t}",
+                                           "checkpoints"))
+                             for t in tids]):
+                        record(tid, metrics, err)
+                        loss = None if metrics is None else metrics.get(
+                            "val_Reconstruction_Loss", float("inf"))
+                        outcomes.append((tid, loss))
+                return outcomes
+        else:
+            # single process: trials pause LIVE in-memory between rungs
+            # (no epoch retrained, no serialization) — the right unit on
+            # one TPU chip where trials share the device anyway
+            cache: Dict[int, Any] = {}
 
-        survivors = run_sha(num_samples, grace, eta, max_t, train_to)
+            def train_to(tid, epochs):
+                try:
+                    metrics = continue_trial(trials[tid], tid, epochs,
+                                             cache)
+                except Exception as e:  # bad draw must not kill the sweep
+                    record(tid, None, repr(e))
+                    return None
+                record(tid, metrics, None)
+                return metrics.get("val_Reconstruction_Loss", float("inf"))
+
+        def on_cull(tids):
+            # release culled trials' live device state (params + opt
+            # moments + dataset) — without this the cache holds every
+            # trial for the whole sweep and memory scales with
+            # num_samples
+            if parallel <= 1:
+                for tid in tids:
+                    cache.pop(tid, None)
+
+        survivors = run_sha(num_samples, grace, eta, max_t, train_to,
+                            rung_runner=rung_runner, on_cull=on_cull)
         print(f"--- asha survivors (best first): {survivors}")
     elif parallel > 1:
         # the honest Ray-actor replacement: one spawned process per

@@ -113,6 +113,53 @@ def test_run_sha_culls_failures_and_caps_budget():
     assert hs.run_sha(4, 5, 2, 3, train_to) == [0, 3, 2]
 
 
+def test_run_sha_on_cull_and_rung_runner():
+    """on_cull reports every dropped trial at each rung boundary (and
+    frees all live trials once the sweep finishes); rung_runner replaces
+    per-trial train_to with whole-rung evaluation."""
+    culled, rungs = [], []
+
+    def rung_runner(tids, budget):
+        rungs.append((tuple(tids), budget))
+        return [(t, float(t)) for t in tids]
+
+    survivors = hs.run_sha(4, 1, 2, 4, None, rung_runner=rung_runner,
+                           on_cull=culled.append)
+    assert survivors == [0]
+    assert rungs == [((0, 1, 2, 3), 1), ((0, 1), 2), ((0,), 4)]
+    assert culled == [[2, 3], [1], [0]]
+
+
+def test_run_sha_on_cull_includes_crashes():
+    """A trial that crashes mid-rung is culled AND reported to on_cull
+    so its live state is released, not leaked."""
+    culled = []
+
+    def train_to(tid, epochs):
+        return None if tid == 1 else float(tid)
+
+    survivors = hs.run_sha(4, 1, 2, 4, train_to, on_cull=culled.append)
+    assert survivors == [0]
+    # crash (1) culled with the rung losers (3 survivors // eta = 1 kept)
+    assert culled[0] == [1, 2, 3]
+
+
+def test_reduction_factor_below_two_raises(tmp_path, monkeypatch):
+    """reduction_factor < 2 is a config error, not a silent clamp."""
+    import pytest
+    tmp = str(tmp_path)
+    cfg = _hyp_config(tmp, os.path.join(tmp, "logs"))
+    cfg["hyperparameter_search"].update(
+        {"scheduler": "asha", "reduction_factor": 1})
+    path = os.path.join(tmp, "hyp.yaml")
+    with open(path, "w") as f:
+        yaml.dump(cfg, f)
+    monkeypatch.setattr(sys, "argv", ["hyperparameter_search.py",
+                                      "-c", path])
+    with pytest.raises(ValueError, match="reduction_factor"):
+        hs.main()
+
+
 def test_run_sha_lone_survivor_trains_to_max_t():
     """A single trial (or lone rung survivor) still trains to max_t."""
     seen = []
@@ -214,6 +261,88 @@ def test_hyp_search_asha_end_to_end_inprocess(tmp_path, monkeypatch,
     assert len(results["trials"]) == 3  # one entry per trial, no dups
     assert results["best"]["loss"] == min(t["loss"]
                                           for t in results["trials"])
+
+
+def test_hyp_search_asha_flags_late_crash(tmp_path, monkeypatch, capsys):
+    """A trial that clears rung 1 then crashes at rung 2 must not stay
+    'best' through its stale rung-1 entry — results.json flags it failed
+    with loss inf (round-2 advisor finding)."""
+    tmp = str(tmp_path)
+    logdir = os.path.join(tmp, "logs")
+    cfg = _hyp_config(tmp, logdir)
+    cfg["trainer_params"]["max_epochs"] = 2
+    cfg["hyperparameter_search"].update(
+        {"num_samples": 2, "scheduler": "asha", "grace_period": 1,
+         "reduction_factor": 2})
+    path = os.path.join(tmp, "hyp_asha.yaml")
+    with open(path, "w") as f:
+        yaml.dump(cfg, f)
+
+    orig = hs.continue_trial
+    recorded = {}
+
+    def crashing(trial_config, trial_id, target_epochs, cache):
+        metrics = orig(trial_config, trial_id, target_epochs, cache)
+        if target_epochs == 1:
+            recorded[trial_id] = metrics["val_Reconstruction_Loss"]
+        if target_epochs > 1:
+            raise RuntimeError("synthetic late-rung crash")
+        return metrics
+
+    monkeypatch.setattr(hs, "continue_trial", crashing)
+    monkeypatch.setattr(sys, "argv", ["hyperparameter_search.py",
+                                      "-c", path])
+    hs.main()
+    with open(os.path.join(logdir, "VanillaVAE", "hyp_search",
+                           "results.json")) as f:
+        results = json.load(f)
+    # rung 1 recorded both; the rung-1 winner crashed at rung 2 -> its
+    # entry must be flagged failed and out of best-selection
+    winner = min(recorded, key=recorded.get)
+    entry = {t["trial"]: t for t in results["trials"]}[winner]
+    assert entry["loss"] == float("inf")
+    assert entry.get("failed"), entry
+    assert results["best"] is None or results["best"]["trial"] != winner
+
+
+def test_hyp_search_asha_rung_parallel(tmp_path, monkeypatch, capsys):
+    """scheduler: asha + parallel_trials: 2 — each rung evaluates its
+    trials in a spawned process pool; cross-rung state resumes from the
+    orbax checkpoints (no epoch retrained). The best survivor must reach
+    max_epochs and results.json must carry one entry per trial."""
+    tmp = str(tmp_path)
+    logdir = os.path.join(tmp, "logs")
+    cfg = _hyp_config(tmp, logdir)
+    cfg["trainer_params"]["max_epochs"] = 2
+    cfg["hyperparameter_search"].update(
+        {"num_samples": 2, "scheduler": "asha", "grace_period": 1,
+         "reduction_factor": 2, "parallel_trials": 2})
+    path = os.path.join(tmp, "hyp_asha_par.yaml")
+    with open(path, "w") as f:
+        yaml.dump(cfg, f)
+
+    monkeypatch.setenv("JAX_PLATFORMS", "cpu")
+    monkeypatch.setenv("JAX_COMPILATION_CACHE_DIR", "/tmp/ctvae_jax_cache")
+    monkeypatch.setenv("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
+    monkeypatch.setattr(sys, "argv", ["hyperparameter_search.py",
+                                      "-c", path])
+    hs.main()
+    out = capsys.readouterr().out
+    assert "rung-parallel" in out
+    assert "asha survivors" in out and "=== best ===" in out
+
+    with open(os.path.join(logdir, "VanillaVAE", "hyp_search",
+                           "results.json")) as f:
+        results = json.load(f)
+    assert len(results["trials"]) == 2
+    assert results["best"]["loss"] == min(t["loss"]
+                                          for t in results["trials"])
+    # the winning trial's checkpoint dir must exist with a 'last' at
+    # step >= 2 epochs worth of batches (it resumed, not restarted)
+    best_tid = results["best"]["trial"]
+    ckpt_dir = os.path.join(logdir, "VanillaVAE", "hyp_search",
+                            f"trial_{best_tid}", "checkpoints")
+    assert os.path.exists(os.path.join(ckpt_dir, "last"))
 
 
 def test_hyp_search_parallel_trials(tmp_path, monkeypatch, capsys):
