@@ -194,10 +194,13 @@ def _dci_scores(importance: Array) -> Tuple[float, float]:
 def metric_dci(sampler: GroundTruthSampler, repr_fn: ReprFn,
                num_train: int = 1000, num_test: int = 500,
                batch_size: int = 64, n_estimators: int = 100,
-               max_depth: int = 3, **kwargs) -> Dict[str, float]:
+               max_depth: int = 3, random_state=None,
+               **kwargs) -> Dict[str, float]:
     # disentanglement_lib dci.py uses sklearn's default
     # GradientBoostingClassifier (100 trees, depth 3); keep those
-    # defaults, overridable for cheap smoke runs.
+    # defaults, overridable for cheap smoke runs. random_state=None is
+    # the lib default too; pass an int for bit-reproducible fits (the
+    # tree splitter breaks feature ties randomly otherwise).
     from sklearn.ensemble import GradientBoostingClassifier
     f_tr, z_tr = _collect(sampler, repr_fn, num_train, batch_size)
     f_te, z_te = _collect(sampler, repr_fn, num_test, batch_size)
@@ -210,7 +213,8 @@ def metric_dci(sampler: GroundTruthSampler, repr_fn: ReprFn,
             acc_te.append(1.0)
             continue
         clf = GradientBoostingClassifier(n_estimators=n_estimators,
-                                         max_depth=max_depth)
+                                         max_depth=max_depth,
+                                         random_state=random_state)
         clf.fit(z_tr, f_tr[:, j])
         importance[:, j] = np.abs(clf.feature_importances_)
         acc_tr.append(float(np.mean(clf.predict(z_tr) == f_tr[:, j])))
