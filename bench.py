@@ -22,6 +22,23 @@ Roofline context (v5e, B=1024 bf16): the compiled VAE step reads/writes
 bound is ~10.7 ms/step; the measured ~10 ms/step (~103k img/s) is AT
 the roofline, i.e. the remaining gap to the 197-TFLOP/s compute peak is
 physics (BatchNorm + small-channel convs), not implementation.
+
+Further fields (round 3):
+* ``vs_baseline_analytic_a100`` + ``a100_*_img_per_sec_bound`` — the
+  analytic A100 roofline bound for the SAME compiled step (BASELINE.md
+  adjudication of the 4x-A100 north star; no A100 exists here).
+* ``ct_<mode>_pct_roofline`` / ``_gflops`` / ``_gbytes`` — roofline
+  placement of each CT train-step mode, so "causal is irreducibly 12x"
+  is a number a regression can violate.
+* ``e2e_train_img_per_sec`` (+ ``e2e_host_img_per_sec``,
+  ``e2e_ct_img_per_sec``) — SUSTAINED end-to-end training throughput at
+  real dataset scale: a full-size DSprites-shaped dataset (737,280 x
+  64x64x1, generated once into Data/ in the exact on-disk npz format
+  the production loader reads) trained through the real VAEDataset path
+  (decode/transform -> persisted uint8 cache -> fused native gather ->
+  async prefetch -> chip). VanillaVAE covers a FULL epoch; the CT model
+  covers the full TDSprites epoch under CTVAE_BENCH_FULL=1, else a
+  bounded 200-step window of the real stream.
 """
 
 import json
@@ -41,7 +58,28 @@ IMG = 64
 WARMUP_STEPS = 5
 BENCH_STEPS = 200
 V5E_BF16_PEAK_TFLOPS = 197.0
+V5E_HBM_GBPS = 819.0
+# A100 public spec sheet numbers for the ANALYTIC roofline bound
+# (BASELINE.md): dense bf16 peak and the two HBM variants (40GB/80GB
+# PCIe = 1555 GB/s, 80GB SXM = 2039 GB/s).
+A100_BF16_PEAK_TFLOPS = 312.0
+A100_HBM_GBPS = {"a100_1.56tbps": 1555.0, "a100_sxm_2.04tbps": 2039.0}
 CT_STEPS = 50
+
+
+def _cost(compiled):
+    """(flops, bytes accessed) from XLA cost analysis of a compiled fn."""
+    ca = compiled.cost_analysis()
+    ca = (ca[0] if isinstance(ca, list) else ca) or {}
+    return float(ca.get("flops", 0.0)), float(ca.get("bytes accessed", 0.0))
+
+
+def roofline_ms(flops: float, bytes_accessed: float,
+                peak_tflops: float, hbm_gbps: float) -> float:
+    """Step-time lower bound on a chip with the given peaks: the slower
+    of the compute-bound and memory-bound times."""
+    return max(flops / (peak_tflops * 1e12),
+               bytes_accessed / (hbm_gbps * 1e9)) * 1e3
 
 
 def measure_torch_reference_cpu(steps=4, batch=16):
@@ -144,7 +182,18 @@ def bench_ct_step(mode, batch):
     final = float(metrics["loss"])
     dt = max(time.perf_counter() - t0 - rtt * n_fetches, 1e-9)
     assert final == final, f"CT {mode} loss is NaN"
-    return dt / CT_STEPS * 1e3
+    ms = dt / CT_STEPS * 1e3
+    # Roofline placement for the CT modes (round-2 VERDICT item 5): the
+    # "causal is irreducibly 12x" claim becomes a number a regression can
+    # violate — pct_roofline collapsing means the step left its bound.
+    flops, bytes_acc = _cost(compiled)
+    bound = roofline_ms(flops, bytes_acc, V5E_BF16_PEAK_TFLOPS,
+                        V5E_HBM_GBPS)
+    info = {"gflops": round(flops / 1e9, 1),
+            "gbytes": round(bytes_acc / 1e9, 2),
+            "roofline_ms": round(bound, 2),
+            "pct_roofline": round(100.0 * bound / ms, 1) if bound else None}
+    return ms, info
 
 
 def bench_inference_vanilla(batch=2048):
@@ -180,6 +229,132 @@ def bench_inference_vanilla(batch=2048):
     return steps * batch / dt
 
 
+def _e2e_run(model, data, exp_params, max_steps=None):
+    """Timed end-to-end training pass through the REAL input pipeline
+    (decode/transform -> cache -> prefetch -> chip): warm up one compile
+    per mode from epoch 0's stream, then time epoch 1's stream start to
+    finish (or ``max_steps``). Returns (img/s, steps, images, mode mix,
+    saw_full_epoch)."""
+    from ctvae_tpu.data.prefetch import prefetch_to_device
+    from ctvae_tpu.data.transition import TransitionDataset
+    from ctvae_tpu.training import VAEXperiment
+
+    exp = VAEXperiment(model, exp_params, data)
+    first = next(iter(data.train_dataloader(0)))
+    exp.setup(first, seed=0)
+    want = ({"base", "action", "causal"}
+            if isinstance(data.train_dataset, TransitionDataset)
+            else {"base"})
+    seen = set()
+    for batch in prefetch_to_device(data.train_dataloader(0), exp.mesh):
+        mode = batch.pop("mode", "base")
+        if mode in seen:
+            continue
+        with exp.mesh:
+            exp.state, metrics = exp._train_step(mode, 0)(exp.state, batch)
+        _ = float(metrics["loss"])
+        seen.add(mode)
+        if seen == want:
+            break
+
+    images, steps, mode_counts = 0, 0, {}
+    t0 = time.perf_counter()
+    for batch in prefetch_to_device(data.train_dataloader(1), exp.mesh):
+        mode = batch.pop("mode", "base")
+        with exp.mesh:
+            exp.state, metrics = exp._train_step(mode, 0)(exp.state, batch)
+        images += int(batch["image"].shape[0])
+        steps += 1
+        mode_counts[mode] = mode_counts.get(mode, 0) + 1
+        if steps % 20 == 0:      # bound the async dispatch queue
+            _ = float(metrics["loss"])
+        if max_steps is not None and steps >= max_steps:
+            break
+    final = float(metrics["loss"])  # forces the full chain to completion
+    dt = max(time.perf_counter() - t0, 1e-9)
+    assert final == final, "e2e loss is NaN"
+    full = max_steps is None or steps < max_steps
+    return images / dt, steps, images, mode_counts, full
+
+
+def _host_only_rate(data, seconds=8.0, epoch=2):
+    """img/s the host input pipeline alone sustains (no device work) —
+    quantifies the host-vs-chip bottleneck."""
+    images = 0
+    t0 = time.perf_counter()
+    for batch in data.train_dataloader(epoch):
+        images += int(len(batch["image"]))
+        if time.perf_counter() - t0 > seconds:
+            break
+    return images / max(time.perf_counter() - t0, 1e-9)
+
+
+def bench_e2e_dsprites():
+    """Round-2 VERDICT item 1: sustained end-to-end training throughput
+    at REAL dataset scale — a full-size DSprites-shaped dataset (737,280
+    x 64x64x1, the exact npz format the production loader reads;
+    reference workload /root/reference/dataset.py:100-166) trained
+    through the real VAEDataset path with the transform cache, native
+    gather, and async prefetcher engaged.
+
+    * VanillaVAE (vae.yaml shape): one FULL epoch, always.
+    * CT-MCQ-VAE on TDSprites (headline model): full epoch under
+      CTVAE_BENCH_FULL=1; a bounded ~200-step window of the real epoch
+      stream otherwise (the mode schedule interleaves proportionally, so
+      the window is representative — full-epoch cross-check in
+      PARITY.md).
+    """
+    import os
+
+    from ctvae_tpu.data import VAEDataset
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "scripts"))
+    from make_dsprites_standin import (ensure_dsprites_standin,
+                                       ensure_dsprites_transitions)
+
+    out = {}
+    t0 = time.perf_counter()
+    ensure_dsprites_standin("Data/", verbose=False)
+    ensure_dsprites_transitions("Data/")
+
+    # ---- VanillaVAE, full epoch --------------------------------------
+    data = VAEDataset("Data/", dataset_name="DSprites",
+                      train_batch_size=BATCH, val_batch_size=BATCH,
+                      patch_size=IMG, distributed=False,
+                      cache_transformed=True)
+    data.setup()
+    out["e2e_setup_sec"] = round(time.perf_counter() - t0, 1)
+    model = vae_models["VanillaVAE"](in_channels=1, latent_dim=128,
+                                     img_size=IMG, dtype=jnp.bfloat16)
+    ips, steps, images, _, full = _e2e_run(
+        model, data, {"LR": 0.005, "kld_weight": 0.00025})
+    assert full, "VanillaVAE e2e must cover a full epoch"
+    out["e2e_train_img_per_sec"] = round(ips, 1)
+    out["e2e_epoch_images"] = images
+    out["e2e_host_img_per_sec"] = round(_host_only_rate(data), 1)
+
+    # ---- CT-MCQ-VAE on TDSprites -------------------------------------
+    full_epoch = os.environ.get("CTVAE_BENCH_FULL", "0") == "1"
+    tdata = VAEDataset("Data/", dataset_name="TDSprites",
+                       train_batch_size=128, val_batch_size=128,
+                       patch_size=IMG, distributed=False,
+                       cache_transformed=True)
+    tdata.setup()
+    ct_model = vae_models["CTMCQVAE"](
+        in_channels=1, embedding_dim=128, action_dim=10,
+        hidden_dims=(64, 128, 256), num_embeddings=64, img_size=IMG,
+        codebooks=1, beta=0.1, gamma=1.5, c_alpha=0.01, c_beta=0.4,
+        c_delta=0.01, c_epsilon=0.1, noise="off", dtype=jnp.bfloat16)
+    ips, steps, images, mode_counts, full = _e2e_run(
+        ct_model, tdata, {"LR": 0.0005, "kld_weight": 0.00025},
+        max_steps=None if full_epoch else 200)
+    out["e2e_ct_img_per_sec"] = round(ips, 1)
+    out["e2e_ct_steps"] = steps
+    out["e2e_ct_mode_mix"] = mode_counts
+    out["e2e_ct_full_epoch"] = bool(full)
+    return out
+
+
 def main():
     model = vae_models["VanillaVAE"](in_channels=3, latent_dim=128,
                                      img_size=IMG, dtype=jnp.bfloat16)
@@ -196,9 +371,7 @@ def main():
         sbatch = shard_batch(batch, mesh)
         state = jax.device_put(state, replicated(mesh))
         compiled = step.lower(state, sbatch).compile()
-        ca = compiled.cost_analysis()
-        ca = (ca[0] if isinstance(ca, list) else ca) or {}
-        step_flops = float(ca.get("flops", 0.0))
+        step_flops, step_bytes = _cost(compiled)
         # Timing methodology: through the remote-chip tunnel,
         # block_until_ready can acknowledge before execution finishes
         # (observed "26,800 TFLOP/s" on chained matmuls). Fetching the
@@ -232,6 +405,26 @@ def main():
     img_per_sec = BENCH_STEPS * BATCH / dt
     per_chip = img_per_sec / n_chips
 
+    # ---- analytic A100 bound (round-2 VERDICT item 2) -----------------
+    # BASELINE.md's ">=4x single-A100" target has no measurable anchor in
+    # this sandbox, but it CAN be settled analytically: give a
+    # hypothetical A100 the SAME compiled step (identical FLOPs and HBM
+    # traffic from XLA cost analysis — the most charitable assumption;
+    # the torch reference's actual fp32 program moves more bytes) at
+    # A100 speed-of-light, and compare. Arithmetic documented in
+    # BASELINE.md.
+    a100 = {}
+    if step_flops and step_bytes:
+        for name, bw in A100_HBM_GBPS.items():
+            bound_ms = roofline_ms(step_flops, step_bytes,
+                                   A100_BF16_PEAK_TFLOPS, bw)
+            a100[f"{name}_img_per_sec_bound"] = round(
+                BATCH / bound_ms * 1e3, 0)
+        # headline ratio vs the FASTEST A100 variant (most conservative
+        # claim for us)
+        best_a100 = max(v for k, v in a100.items())
+        a100["vs_baseline_analytic_a100"] = round(per_chip / best_a100, 2)
+
     # flagship model: CT-MCQ-VAE step timings (never let them kill the
     # primary metric)
     ct = {}
@@ -239,7 +432,11 @@ def main():
                          ("ct_base_ms_per_step", "base", 128),
                          ("ct_causal_ms_per_step", "causal", 16)):
         try:
-            ct[key] = round(bench_ct_step(mode, b), 2)
+            ms, info = bench_ct_step(mode, b)
+            ct[key] = round(ms, 2)
+            ct[f"ct_{mode}_pct_roofline"] = info["pct_roofline"]
+            ct[f"ct_{mode}_gflops"] = info["gflops"]
+            ct[f"ct_{mode}_gbytes"] = info["gbytes"]
         except Exception as e:
             print(f"warning: CT bench ({mode}) failed: {e!r}",
                   file=sys.stderr)
@@ -254,6 +451,15 @@ def main():
         print(f"warning: inference bench failed: {e!r}", file=sys.stderr)
         infer_ips = None
 
+    # end-to-end at real dataset scale (never let it kill the primary
+    # metric; it needs ~6 GB RAM + 3 GB disk for the dataset stand-in)
+    try:
+        e2e = bench_e2e_dsprites()
+    except Exception as e:
+        print(f"warning: e2e dataset-scale bench failed: {e!r}",
+              file=sys.stderr)
+        e2e = {"e2e_train_img_per_sec": None}
+
     torch_cpu = measure_torch_reference_cpu()
     vs = round(per_chip / torch_cpu, 3) if torch_cpu else None
     print(json.dumps({
@@ -262,13 +468,20 @@ def main():
         "unit": "images/sec/chip",
         "vs_baseline": vs,
         "baseline": "torch reference VanillaVAE, measured on this "
-                    "host's CPU in the same run (no A100 available; "
-                    "BASELINE.md's 4x-A100 target has no measurable or "
-                    "citable anchor in this sandbox)",
+                    "host's CPU in the same run; "
+                    "vs_baseline_analytic_a100 is the ratio against a "
+                    "hypothetical A100 (2.04 TB/s SXM variant) running "
+                    "the SAME compiled step at its roofline — an "
+                    "ANALYTIC bound (no A100 exists here), arithmetic "
+                    "in BASELINE.md",
         "torch_cpu_img_per_sec": round(torch_cpu, 1) if torch_cpu else None,
         "tflops_per_chip": round(tflops, 1) if step_flops else None,
+        "step_gbytes_accessed": round(step_bytes / 1e9, 2)
+        if step_bytes else None,
         "infer_images_per_sec": infer_ips,
+        **a100,
         **ct,
+        **e2e,
     }))
 
 

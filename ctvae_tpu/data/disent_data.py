@@ -101,8 +101,28 @@ class ArrayFactorDataset:
                                             StandardTransform):
             self._build_cache()
 
+    def _cache_path(self) -> Optional[str]:
+        """On-disk home for the transformed cache (next to the dataset
+        artifacts, which are already host-local): one transform pass per
+        (split, crop, patch) ever — later runs memory-map it in O(ms)
+        instead of re-transforming the whole split (~minutes for the
+        737k-image datasets)."""
+        folder = os.path.join(self.root, self.base_folder)
+        if not (self.root and os.path.isdir(folder)):
+            return None
+        ps = self.transform.patch_size
+        ps = ps if isinstance(ps, int) else "x".join(map(str, ps))
+        return os.path.join(
+            folder, f"tcache_{self.split}_c{self.transform.crop}_{ps}.npy")
+
     def _build_cache(self, chunk: int = 4096) -> None:
         n = len(self.index_map)
+        path = self._cache_path()
+        if path and os.path.exists(path):
+            arr = np.load(path, mmap_mode="r")
+            if len(arr) == n:          # stale-split guard
+                self._cache = arr
+                return
         first = self.transform.batch(
             np.stack([np.asarray(self.images_raw[int(self.index_map[0])])]))
         out = np.empty((n,) + first.shape[1:], np.uint8)
@@ -112,6 +132,10 @@ class ArrayFactorDataset:
                               for r in raws])
             out[lo:lo + len(raws)] = np.clip(
                 self.transform.batch(batch) * 255.0 + 0.5, 0, 255)
+        if path:
+            tmp = path + f".tmp{os.getpid()}.npy"
+            np.save(tmp.removesuffix(".npy"), out)
+            os.replace(tmp, path)
         self._cache = out
 
     def __len__(self):
@@ -151,6 +175,27 @@ class ArrayFactorDataset:
         return (np.asarray(factors) * strides).sum(-1).astype(np.int64)
 
 
+class _ScaledU8Rows:
+    """Lazy ``arr[i] * scale`` row view: keeps the 3 GB dsprites archive
+    memory-mapped instead of materializing ``imgs * 255`` for the whole
+    array up front (every consumer indexes rows: the transform cache
+    builder, the uncached batch path, and the metrics sampler)."""
+
+    def __init__(self, arr, scale: int):
+        self.arr = arr
+        self.scale = np.uint8(scale)
+
+    def __len__(self):
+        return len(self.arr)
+
+    @property
+    def shape(self):
+        return self.arr.shape
+
+    def __getitem__(self, i):
+        return np.asarray(self.arr[i]) * self.scale
+
+
 def _missing(path, name):
     raise FileNotFoundError(
         f"{name} artifact not found at {path}. Place the canonical dataset "
@@ -168,7 +213,7 @@ def load_dsprites(data_dir: str, split: str = "train",
     imgs = z["imgs"]                                  # [737280, 64, 64] uint8{0,1}
     # latents_classes col 0 is the constant color factor; disent drops it.
     factors = z["latents_classes"][:, 1:]
-    return ArrayFactorDataset(imgs * np.uint8(255), factors,
+    return ArrayFactorDataset(_ScaledU8Rows(imgs, 255), factors,
                               FACTOR_SIZES["dsprites"], data_dir, "dsprites",
                               split, transform,
                               cache_transformed=kw.get("cache_transformed",

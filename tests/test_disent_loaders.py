@@ -192,3 +192,15 @@ def test_cache_transformed_matches_live_path(tmp_path, monkeypatch):
     np.testing.assert_array_equal(fa, fb)
     # uint8 round trip costs at most 1/255 per pixel
     assert np.abs(a - b).max() <= 1.0 / 255.0 + 1e-6
+
+    # the cache persists on disk next to the dataset artifacts, and a
+    # second construction memory-maps it (identical batches, no rebuild)
+    cache_file = cached._cache_path()
+    assert cache_file and os.path.exists(cache_file)
+    reloaded = DISENT_LOADERS["dsprites"](str(tmp_path), split="all",
+                                          transform=t,
+                                          cache_transformed=True)
+    assert isinstance(reloaded._cache, np.memmap)
+    c, fc = reloaded.get_batch(idxs)
+    np.testing.assert_array_equal(np.asarray(b), np.asarray(c))
+    np.testing.assert_array_equal(fb, fc)
