@@ -321,7 +321,7 @@ def bench_e2e_dsprites():
     data = VAEDataset("Data/", dataset_name="DSprites",
                       train_batch_size=BATCH, val_batch_size=BATCH,
                       patch_size=IMG, distributed=False,
-                      cache_transformed=True)
+                      cache_transformed=True, device_normalize=True)
     data.setup()
     out["e2e_setup_sec"] = round(time.perf_counter() - t0, 1)
     model = vae_models["VanillaVAE"](in_channels=1, latent_dim=128,
@@ -338,7 +338,7 @@ def bench_e2e_dsprites():
     tdata = VAEDataset("Data/", dataset_name="TDSprites",
                        train_batch_size=128, val_batch_size=128,
                        patch_size=IMG, distributed=False,
-                       cache_transformed=True)
+                       cache_transformed=True, device_normalize=True)
     tdata.setup()
     ct_model = vae_models["CTMCQVAE"](
         in_channels=1, embedding_dim=128, action_dim=10,

@@ -53,6 +53,43 @@ FACTOR_SIZES = {
 }
 
 
+def _open_npz_member_mmap(path: str, key: str) -> np.ndarray:
+    """True memory-map of an UNCOMPRESSED ``.npz`` member (``np.savez``).
+
+    ``np.load(..., mmap_mode=...)`` silently ignores mmap for npz
+    archives — ``z[key]`` reads the whole member (~36 s for the 3 GB
+    dsprites array on this host), paid once per dataset instance. A
+    stored (non-deflated) zip member is just the raw ``.npy`` bytes at a
+    fixed offset, so it can be mapped directly: parse the npy header via
+    the zip stream, locate the member's data offset from its local file
+    header, and ``np.memmap`` the file there. Falls back to a full read
+    for compressed archives or Fortran-ordered arrays."""
+    import zipfile
+
+    from numpy.lib import format as npf
+    name = key + ".npy"
+    with zipfile.ZipFile(path) as zf:
+        info = zf.getinfo(name)
+        if info.compress_type != zipfile.ZIP_STORED:
+            return np.load(path, allow_pickle=True)[key]
+        with zf.open(name) as f:
+            version = npf.read_magic(f)
+            shape, fortran, dtype = npf._read_array_header(f, version)
+            header_len = f.tell()          # npy header bytes consumed
+    if fortran or dtype.hasobject:
+        return np.load(path, allow_pickle=True)[key]
+    with open(path, "rb") as raw:
+        raw.seek(info.header_offset)
+        lh = raw.read(30)                  # zip local file header
+        if lh[:4] != b"PK\x03\x04":
+            return np.load(path, allow_pickle=True)[key]
+        nlen = int.from_bytes(lh[26:28], "little")
+        elen = int.from_bytes(lh[28:30], "little")
+    data_off = info.header_offset + 30 + nlen + elen + header_len
+    return np.memmap(path, dtype=dtype, mode="r", offset=data_off,
+                     shape=shape)
+
+
 def _load_split_csv(path: str) -> Tuple[List[int], List[int]]:
     with open(path) as f:
         rows = list(csv.reader(f))[1:]
@@ -72,7 +109,8 @@ class ArrayFactorDataset:
                  factor_sizes: Tuple[int, ...], data_dir: str,
                  base_folder: str, split: str = "train",
                  transform: Optional[Callable] = None,
-                 cache_transformed: bool = False):
+                 cache_transformed: bool = False,
+                 device_normalize: bool = False):
         self.images_raw = images
         self.factors_all = factors.astype(np.int64)
         self.factor_sizes = tuple(factor_sizes)
@@ -96,9 +134,15 @@ class ArrayFactorDataset:
                 [i for i, s in zip(idx, spl) if s == want], np.int64)
         self.indices = [str(i) for i in self.index_map]
 
+        # data_params.device_normalize: get_batch returns
+        # the cached uint8 rows raw; the [0,1] float conversion happens
+        # ON DEVICE after the host->device copy (data/prefetch.py) — 4x
+        # less transfer per batch, values within one f32 ulp of the host
+        # astype/255 path. Requires the transform cache.
+        self.device_normalize = bool(device_normalize)
         self._cache: Optional[np.ndarray] = None
-        if cache_transformed and isinstance(self.transform,
-                                            StandardTransform):
+        if (cache_transformed or self.device_normalize) and isinstance(
+                self.transform, StandardTransform):
             self._build_cache()
 
     def _cache_path(self) -> Optional[str]:
@@ -150,6 +194,8 @@ class ArrayFactorDataset:
 
     def get_batch(self, idxs: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
         raws = self.index_map[np.asarray(idxs)]
+        if self._cache is not None and self.device_normalize:
+            return self._cache[np.asarray(idxs)], self.factors_all[raws]
         if self._cache is not None:
             # fused native gather+convert when available (one pass,
             # threaded) vs numpy's gather -> astype -> divide triple pass
@@ -209,15 +255,17 @@ def load_dsprites(data_dir: str, split: str = "train",
     path = os.path.join(folder, fname)
     if not os.path.exists(path):
         _missing(path, "dsprites")
-    z = np.load(path, allow_pickle=True, mmap_mode="r")
-    imgs = z["imgs"]                                  # [737280, 64, 64] uint8{0,1}
+    imgs = _open_npz_member_mmap(path, "imgs")        # [737280, 64, 64] uint8{0,1}
     # latents_classes col 0 is the constant color factor; disent drops it.
-    factors = z["latents_classes"][:, 1:]
+    factors = np.asarray(
+        _open_npz_member_mmap(path, "latents_classes"))[:, 1:]
     return ArrayFactorDataset(_ScaledU8Rows(imgs, 255), factors,
                               FACTOR_SIZES["dsprites"], data_dir, "dsprites",
                               split, transform,
                               cache_transformed=kw.get("cache_transformed",
-                                                       False))
+                                                       False),
+                              device_normalize=kw.get("device_normalize",
+                                                      False))
 
 
 def load_shapes3d(data_dir: str, split: str = "train",
@@ -238,7 +286,9 @@ def load_shapes3d(data_dir: str, split: str = "train",
     return ArrayFactorDataset(imgs, factors, sizes, data_dir, "3dshapes",
                               split, transform,
                               cache_transformed=kw.get("cache_transformed",
-                                                       False))
+                                                       False),
+                              device_normalize=kw.get("device_normalize",
+                                                      False))
 
 
 def load_cars3d(data_dir: str, split: str = "train",
@@ -260,7 +310,9 @@ def load_cars3d(data_dir: str, split: str = "train",
     return ArrayFactorDataset(images, grid, sizes, data_dir, "cars3d",
                               split, transform,
                               cache_transformed=kw.get("cache_transformed",
-                                                       False))
+                                                       False),
+                              device_normalize=kw.get("device_normalize",
+                                                      False))
 
 
 def _read_norb_matrix(path: str) -> np.ndarray:
@@ -294,7 +346,9 @@ def load_smallnorb(data_dir: str, split: str = "train",
                               FACTOR_SIZES["smallnorb"], data_dir,
                               "smallnorb", split, transform,
                               cache_transformed=kw.get("cache_transformed",
-                                                       False))
+                                                       False),
+                              device_normalize=kw.get("device_normalize",
+                                                      False))
 
 
 def load_sprites(data_dir: str, split: str = "train",
@@ -303,12 +357,15 @@ def load_sprites(data_dir: str, split: str = "train",
     path = os.path.join(folder, "sprites.npz")
     if not os.path.exists(path):
         _missing(path, "sprites")
-    z = np.load(path, mmap_mode="r")
-    return ArrayFactorDataset(z["images"], z["factors"],
+    return ArrayFactorDataset(_open_npz_member_mmap(path, "images"),
+                              np.asarray(_open_npz_member_mmap(path,
+                                                               "factors")),
                               FACTOR_SIZES["sprites"], data_dir, "sprites",
                               split, transform,
                               cache_transformed=kw.get("cache_transformed",
-                                                       False))
+                                                       False),
+                              device_normalize=kw.get("device_normalize",
+                                                      False))
 
 
 DISENT_LOADERS = {

@@ -25,6 +25,20 @@ import numpy as np
 from ..parallel.mesh import shard_batch
 
 _SENTINEL = object()
+_u8_to_unit = None
+
+
+def _normalize_u8(arr):
+    """uint8 device array -> float32 in [0, 1], ON DEVICE — the receiving
+    half of ``data_params.device_normalize`` (the host ships 4x fewer
+    bytes per batch; this jitted astype/255 matches the host conversion
+    to within one float32 ulp and costs one ~40us HBM round trip)."""
+    global _u8_to_unit
+    if _u8_to_unit is None:
+        import jax
+        import jax.numpy as jnp
+        _u8_to_unit = jax.jit(lambda x: x.astype(jnp.float32) / 255.0)
+    return _u8_to_unit(arr)
 
 
 def prefetch_to_device(batches: Iterator[dict], mesh, depth: int = 2,
@@ -57,6 +71,10 @@ def prefetch_to_device(batches: Iterator[dict], mesh, depth: int = 2,
             return
         arrays = {k: v for k, v in item.items() if not isinstance(v, str)}
         on_device = shard_batch(arrays, mesh)
+        for k in ("image", "input_y"):
+            v = on_device.get(k)
+            if v is not None and v.dtype == np.uint8:
+                on_device[k] = _normalize_u8(v)
         on_device.update({k: v for k, v in item.items()
                           if isinstance(v, str)})
         yield on_device

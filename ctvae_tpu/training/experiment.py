@@ -126,8 +126,11 @@ class VAEXperiment:
         # init with a throwaway tx list to get params, then real ones
         import optax
         probe = [optax.adam(1e-3)]
-        batch = {k: jnp.asarray(v) for k, v in sample_batch.items()
-                 if not isinstance(v, str)}
+        batch = {k: jnp.asarray(np.asarray(v).astype(np.float32) / 255.0
+                                if np.asarray(v).dtype == np.uint8
+                                else v)
+                 for k, v in sample_batch.items()
+                 if not isinstance(v, str)}   # device_normalize datasets
         state = create_train_state(self.model, rng, batch, probe,
                                    fwd_kwargs_keys=FWD_KEYS)
         if "frozen" in state.model_state:
@@ -385,7 +388,10 @@ class VAEXperiment:
             self._repr_fn_jit = _encode
 
         def fn(x):
-            x = jnp.asarray(np.asarray(x), jnp.float32)
+            x = np.asarray(x)
+            if x.dtype == np.uint8:   # device_normalize datasets
+                x = x.astype(np.float32) / 255.0
+            x = jnp.asarray(x, jnp.float32)
             return np.asarray(self._repr_fn_jit(
                 self.state.params, self.state.model_state, x))
         return fn
@@ -397,6 +403,10 @@ class VAEXperiment:
         from ..utils.images import save_image
 
         batch = next(iter(self.data.test_dataloader(epoch)))
+        batch = {k: (np.asarray(v).astype(np.float32) / 255.0
+                     if not isinstance(v, str)
+                     and np.asarray(v).dtype == np.uint8 else v)
+                 for k, v in batch.items()}   # device_normalize datasets
         x = jnp.asarray(batch["image"])
         variables = {"params": self.state.params, **self.state.model_state}
         # Fold the epoch into the sampling keys so Samples/<model>_Epoch_k

@@ -204,3 +204,42 @@ def test_cache_transformed_matches_live_path(tmp_path, monkeypatch):
     c, fc = reloaded.get_batch(idxs)
     np.testing.assert_array_equal(np.asarray(b), np.asarray(c))
     np.testing.assert_array_equal(fb, fc)
+
+
+def test_device_normalize_matches_host_path(tmp_path, monkeypatch):
+    """data_params.device_normalize ships uint8 batches and converts on
+    device after the H2D copy (4x less transfer) — values must match the
+    host-side float path through the real prefetch pipeline to within
+    one float32 ulp (XLA lowers /255 to a reciprocal multiply)."""
+    sizes = (2, 2, 4)
+    monkeypatch.setitem(FACTOR_SIZES, "dsprites", sizes)
+    n = int(np.prod(sizes))
+    grid = np.indices(sizes).reshape(len(sizes), -1).T
+    rng = np.random.default_rng(3)
+    imgs = rng.integers(0, 2, (n, 64, 64)).astype(np.uint8)
+    latents_classes = np.concatenate(
+        [np.zeros((n, 1), np.int64), grid], axis=1)
+    folder = tmp_path / "dsprites"
+    folder.mkdir()
+    np.savez(folder / "dsprites_ndarray_co1sh3sc6or40x32y32_64x64.npz",
+             imgs=imgs, latents_classes=latents_classes)
+    from ctvae_tpu.data.transforms import StandardTransform
+    t = StandardTransform(32, crop=148)
+    host = DISENT_LOADERS["dsprites"](str(tmp_path), split="all",
+                                      transform=t, cache_transformed=True)
+    dev = DISENT_LOADERS["dsprites"](str(tmp_path), split="all",
+                                     transform=t, device_normalize=True)
+    idxs = np.arange(n)
+    a, fa = host.get_batch(idxs)
+    b_u8, fb = dev.get_batch(idxs)
+    assert a.dtype == np.float32 and b_u8.dtype == np.uint8
+    np.testing.assert_array_equal(fa, fb)
+
+    from ctvae_tpu.data.prefetch import prefetch_to_device
+    from ctvae_tpu.parallel import make_mesh
+    mesh = make_mesh()
+    (out,) = list(prefetch_to_device(
+        iter([{"image": b_u8, "mode": "base"}]), mesh))
+    converted = np.asarray(out["image"])
+    assert converted.dtype == np.float32
+    np.testing.assert_allclose(converted, a, rtol=0, atol=6e-8)
