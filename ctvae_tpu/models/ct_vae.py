@@ -343,9 +343,16 @@ class CausalTransition(nn.Module):
             A * B, S, N)
         ni_rep = jnp.broadcast_to(no_inter[None], (A, B, S, S)).reshape(
             A * B, S, S)
-        y_pred, _, _ = self.forward_action(lat_rep, act_rep, train=train,
-                                           _pos_latent=pos_rep,
-                                           _no_inter=ni_rep)
+        # flash_scope: under CTVAE_FLASH_GAT=auto the causal path's GNN
+        # traces through the flash-fused Pallas kernel (+15% full-step
+        # on v5e); action/base keep the XLA path, which measures faster
+        # there (ops/gat.py _use_flash).
+        from ..ops.gat import flash_scope
+        with flash_scope():
+            y_pred, _, _ = self.forward_action(lat_rep, act_rep,
+                                               train=train,
+                                               _pos_latent=pos_rep,
+                                               _no_inter=ni_rep)
         y_pred = y_pred.reshape(A, B, S, N)
 
         y_inds = jnp.argmax(latent_y, axis=-1)                    # [B, S]

@@ -103,6 +103,34 @@ def _fgl_bwd(ns, res, d_e):
 fused_gat_logits.defvjp(_fgl_fwd, _fgl_bwd)
 
 
+import contextlib as _contextlib
+import threading as _threading
+
+_flash_scope_state = _threading.local()
+
+
+@_contextlib.contextmanager
+def flash_scope():
+    """Marks a trace region where the flash-fused attention kernel is
+    measured to WIN (the CT causal/transition path: +15% full-step
+    throughput on v5e vs the XLA formulation, while the action/base
+    steps measure ~12% SLOWER under the kernel — scripts/
+    bench_gat_flash.py and the mode A/B in PARITY.md). Under
+    CTVAE_FLASH_GAT=auto (the default), ``_use_flash`` consults this
+    scope so each jitted step mode bakes in its own best path. Tracing
+    happens inside the context, and the per-mode train-step caches key
+    the compiled graphs, so the choice is stable per mode."""
+    _flash_scope_state.on = True
+    try:
+        yield
+    finally:
+        _flash_scope_state.on = False
+
+
+def _in_flash_scope() -> bool:
+    return bool(getattr(_flash_scope_state, "on", False))
+
+
 def _onewalk_enabled() -> bool:
     """CTVAE_GAT_ONEWALK routes the fused-logit backward through the
     one-walk custom VJP above instead of ``jax.checkpoint`` recompute.
@@ -188,23 +216,25 @@ class DenseGATv2Layer(nn.Module):
     def _use_flash(self) -> bool:
         """Route the attention through the flash-fused Pallas kernel
         (ops/gat_flash.py): CTVAE_FLASH_GAT=1 forces it on any backend
-        (CPU runs the interpreter — tests), "auto" uses it on a real
-        TPU backend, 0 (default) disables. Default is OFF because the
-        only TPU reachable from this build host sits behind a tunnel
-        whose Mosaic remote-compile hangs on ANY Pallas kernel (see
-        gat_flash.py STATUS); "auto" is the intended setting on a real
-        TPU VM. Incompatible with the chunked-workspace mode (the
-        kernel holds one [S,T,F] head-block in VMEM by construction),
-        with sequence parallelism (the kernel grid owns the full target
-        axis per program; SP splits that domain across chips on the XLA
-        path instead), and pointless without fused_logits (parity tests
-        pin the einsum path)."""
+        (CPU runs the interpreter — tests); "auto" (the default) uses
+        it on a TPU backend ONLY inside ``flash_scope()`` — the CT
+        causal/transition path, where the kernel's single-rewalk
+        backward wins (+15% full causal step on v5e) while the
+        action/base steps measure faster on the XLA fused+one-walk
+        formulation (chip A/B 2026-08-20, scripts/bench_gat_flash.py);
+        0 disables everywhere. Incompatible with the chunked-workspace
+        mode (the kernel holds one [S,T,F] head-block in VMEM by
+        construction), with sequence parallelism (the kernel grid owns
+        the full target axis per program; SP splits that domain across
+        chips on the XLA path instead), and pointless without
+        fused_logits (parity tests pin the einsum path)."""
         if not self.fused_logits or self.block_cols or self.seq_axis:
             return False
-        v = os.environ.get("CTVAE_FLASH_GAT", "0")
+        v = os.environ.get("CTVAE_FLASH_GAT", "auto")
         if v == "1":
             return True
-        return v == "auto" and jax.default_backend() == "tpu"
+        return (v == "auto" and _in_flash_scope()
+                and jax.default_backend() == "tpu")
 
     def __call__(self, x: Array, adj: Array) -> Array:
         """x: [B, T, Fin], adj: [B, T, T] (adj[b, s, t] = edge s->t).

@@ -19,14 +19,20 @@ Semantics are IDENTICAL to DenseGATv2Layer's XLA path (softmax over
 incoming real edges only, zero rows for edgeless targets, leaky grad 1
 at 0): pinned value- and gradient-exact in tests/test_gat_flash.py.
 
-STATUS (2026-08-19): validated in Pallas interpret mode only. On this
-build host's remote-TPU tunnel the Mosaic remote-compile service fails
-(HTTP 500) for this kernel and HANGS even for a trivial aligned
-(8,128) copy kernel — Pallas cannot execute on the chip here at all
-(same toolchain failure documented for the VQ kernel, ops/vq.py). The
-kernel is therefore gated OFF by default (CTVAE_FLASH_GAT, see
-DenseGATv2Layer._use_flash) pending a real TPU VM; the measured XLA
-fallback numbers live in PARITY.md and scripts/bench_gat_flash.py.
+STATUS (2026-08-20): VALIDATED ON CHIP. The round-2 toolchain hang is
+gone; two Mosaic remote-compile bugs remained and are worked around in
+the kernels (1-D intermediates and feeding the 3-D lane-reduce straight
+into the column softmax both crash the compile helper — we/att stay
+2-D and the logits stage through a VMEM scratch; bisected 2026-08-20).
+Measured v5e at the causal headline attention shapes (B192 T65 H13 F100
+bf16): fwd 9.1 ms (par with XLA), fwd+bwd 21.0 ms vs 25.6 ms for the
+best XLA formulation (-18%); values exact, gradients exact in f32 and
+within ~1 bf16 ulp in bf16 (the alpha residual is stored f32). Full CT
+causal train step: 38.3 -> 32.7 ms at B16 (+15% throughput). The
+action/base steps measure ~12% SLOWER under the kernel (tiny per-(b,h)
+programs vs XLA's fused one-walk), so the default CTVAE_FLASH_GAT=auto
+enables it ONLY inside the causal path's ``flash_scope()``
+(ops/gat.py); =1 forces it everywhere, =0 disables.
 
 The reference has no analogue — its GATv2 runs in torch-geometric CUDA
 scatter kernels (/root/reference/models/ct_mcq_vae.py:102-114).
@@ -48,20 +54,28 @@ NEG = -1e30
 
 
 def _fwd_kernel(xl_ref, xr_ref, adj_ref, mask_ref, we_ref, att_ref,
-                out_ref, alpha_ref, *, ns: float):
+                out_ref, alpha_ref, e_scr, *, ns: float):
     """One (b, h) program. Blocks: xl/xr [1,1,S|T,F], adj/mask [1,S,T],
-    we/att [1,1,F]; out [1,1,T,F], alpha [1,1,S,T]."""
+    we/att [1,1,F]; out [1,1,T,F], alpha [1,1,S,T]; e_scr VMEM [S,T]."""
     xl = xl_ref[0, 0].astype(jnp.float32)          # [S, F]
     xr = xr_ref[0, 0].astype(jnp.float32)          # [T, F]
     adj = adj_ref[0].astype(jnp.float32)           # [S, T]
     mask = mask_ref[0] != 0                        # [S, T] (passed as 0/1)
-    we = we_ref[0, 0].astype(jnp.float32)          # [F]
-    att = att_ref[0, 0].astype(jnp.float32)        # [F]
+    # we/att stay 2-D [1, F]: 1-D intermediates in a gridded kernel
+    # crash this toolchain's Mosaic remote-compile (see ops/vq.py).
+    we = we_ref[0].astype(jnp.float32)             # [1, F]
+    att = att_ref[0].astype(jnp.float32)           # [1, F]
 
     pre = (xl[:, None, :] + xr[None, :, :]
-           + adj[:, :, None] * we[None, None, :])  # [S, T, F]
+           + adj[:, :, None] * we[None, :, :])     # [S, T, F]
     act = jnp.where(pre >= 0, pre, ns * pre)
-    e = jnp.sum(act * att[None, None, :], axis=-1)  # [S, T]
+    # stage the logits through VMEM scratch: feeding the 3-D lane-reduce
+    # result straight into the column softmax trips the same Mosaic
+    # remote-compile failure as the 1-D intermediates (bisected
+    # 2026-08-20); the round-trip forces a clean 2-D layout and costs
+    # one [S,T] VMEM write/read
+    e_scr[...] = jnp.sum(act * att[None, :, :], axis=-1)   # [S, T]
+    e = e_scr[...]
 
     e = jnp.where(mask, e, NEG)
     e = e - jnp.max(e, axis=0, keepdims=True)       # over sources s
@@ -83,8 +97,8 @@ def _bwd_kernel(xl_ref, xr_ref, adj_ref, mask_ref, we_ref, att_ref,
     xr = xr_ref[0, 0].astype(jnp.float32)           # [T, F]
     adj = adj_ref[0].astype(jnp.float32)            # [S, T]
     mask = mask_ref[0] != 0                         # [S, T] (passed as 0/1)
-    we = we_ref[0, 0].astype(jnp.float32)           # [F]
-    att = att_ref[0, 0].astype(jnp.float32)         # [F]
+    we = we_ref[0].astype(jnp.float32)              # [1, F] (2-D: see fwd)
+    att = att_ref[0].astype(jnp.float32)            # [1, F]
     alpha = alpha_ref[0, 0].astype(jnp.float32)     # [S, T]
     dout = dout_ref[0, 0].astype(jnp.float32)       # [T, F]
 
@@ -101,25 +115,26 @@ def _bwd_kernel(xl_ref, xr_ref, adj_ref, mask_ref, we_ref, att_ref,
     d_e = alpha * (d_alpha - s_col)                                    # [S,T]
     d_e = jnp.where(mask, d_e, 0.0)
 
-    # logits backward in one domain walk
+    # logits backward in one domain walk (all reductions stay >= 2-D)
     pre = (xl[:, None, :] + xr[None, :, :]
-           + adj[:, :, None] * we[None, None, :])                      # [S,T,F]
+           + adj[:, :, None] * we[None, :, :])                         # [S,T,F]
     slope = jnp.where(pre >= 0, 1.0, ns)
-    dpre = d_e[:, :, None] * att[None, None, :] * slope                # [S,T,F]
+    dpre = d_e[:, :, None] * att[None, :, :] * slope                   # [S,T,F]
     act = jnp.where(pre >= 0, pre, ns * pre)
 
     d_xl = d_xl + jnp.sum(dpre, axis=1)                                # [S,F]
     dxr = jnp.sum(dpre, axis=0)                                        # [T,F]
-    dadj = jnp.sum(dpre * we[None, None, :], axis=-1)                  # [S,T]
-    dwe = jnp.sum(dpre * adj[:, :, None], axis=(0, 1))                 # [F]
-    datt = jnp.sum(act * jnp.where(mask, d_e, 0.0)[:, :, None],
-                   axis=(0, 1))                                        # [F]
+    dadj = jnp.sum(dpre * we[None, :, :], axis=-1)                     # [S,T]
+    dwe = jnp.sum(jnp.sum(dpre * adj[:, :, None], axis=0),
+                  axis=0, keepdims=True)                               # [1,F]
+    datt = jnp.sum(jnp.sum(act * jnp.where(mask, d_e, 0.0)[:, :, None],
+                           axis=0), axis=0, keepdims=True)             # [1,F]
 
     dxl_ref[0, 0] = d_xl.astype(dxl_ref.dtype)
     dxr_ref[0, 0] = dxr.astype(dxr_ref.dtype)
     dadj_ref[0, 0] = dadj.astype(dadj_ref.dtype)
-    dwe_ref[0, 0] = dwe.reshape(1, -1).astype(dwe_ref.dtype)
-    datt_ref[0, 0] = datt.reshape(1, -1).astype(datt_ref.dtype)
+    dwe_ref[0, 0] = dwe.astype(dwe_ref.dtype)
+    datt_ref[0, 0] = datt.astype(datt_ref.dtype)
 
 
 def _specs_bh(S, T, F):
@@ -170,8 +185,13 @@ def _flash_fwd_raw(xl, xr, adj, mask, we, att, ns, interpret):
         ],
         out_shape=[
             jax.ShapeDtypeStruct((B, H, T, F), dt),
-            jax.ShapeDtypeStruct((B, H, S, T), dt),
+            # alpha residual stays f32 regardless of compute dtype: the
+            # backward's softmax-VJP reads it, and a bf16 residual costs
+            # ~2 bf16-ulp extra gradient error vs the XLA path (measured
+            # on chip); f32 matches XLA to accumulation-order noise
+            jax.ShapeDtypeStruct((B, H, S, T), jnp.float32),
         ],
+        scratch_shapes=[pltpu.VMEM((S, T), jnp.float32)],
         interpret=interpret,
     )(xl_t, xr_t, adj, mask, we[:, None, :], att[:, None, :])
     return out.transpose(0, 2, 1, 3), alpha

@@ -54,8 +54,12 @@ def _vq_kernel(x_ref, cb_ref, out_ref):
     """
     x = upcast32(x_ref[:])                      # [TN, D]
     cb = upcast32(cb_ref[:])                    # [K, D]
-    cb_norm = jnp.sum(cb * cb, axis=1)                    # [K]
-    scores = cb_norm[None, :] - 2.0 * jax.lax.dot_general(
+    # keepdims + transpose, NOT [K] + [None, :]: a 1-D intermediate in a
+    # gridded kernel crashes this toolchain's Mosaic remote-compile
+    # (HTTP 500; bisected 2026-08-20 — the all-2D form compiles and
+    # matches).
+    cb_norm = jnp.sum(cb * cb, axis=1, keepdims=True)     # [K, 1]
+    scores = cb_norm.T - 2.0 * jax.lax.dot_general(
         x, cb, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)               # [TN, K]
     # argmin via min + first-matching-index select, all-2D with keepdims
@@ -101,21 +105,17 @@ def l2_argmin_pallas(flat: Array, codebook: Array,
     return inds.reshape(n_pad)[:n]
 
 
-# The Pallas kernel is opt-in: on the current v5e AOT toolchain Mosaic
-# either over-allocates scoped VMEM for the whole grid at once (OOM at
-# TILE_N=1024: "93-106M > 16M limit") or hangs in compilation for smaller
-# tiles (128/256 with K>=512, reproduced 2026-08-16 incl. with raised
-# vmem_limit_bytes + arbitrary dimension_semantics; re-reproduced
-# 2026-08-17 with a lane-aligned (1, 1, TILE_N) output block at
-# TILE_N=512 — the degenerate [TILE_N, 1] output column was not the
-# cause, and a hung compile wedges the shared chip, so do not retry
-# against live hardware; re-confirmed 2026-08-19 that even a trivial
-# aligned (8,128) VMEM copy kernel hangs this tunnel's Mosaic
-# remote-compile — the failure is the toolchain, not this kernel's
-# shapes). The XLA formulation
-# below compiles to the same MXU matmul with the argmin fused into the
-# epilogue and is not a measurable fraction of any model's step time, so
-# it stays the default until the toolchain issue is fixed.
+# The Pallas kernel is opt-in (CTVAE_PALLAS_VQ=1). History: the round-2
+# toolchain hung on ANY pallas_call through this tunnel; that is fixed
+# (2026-08-20), and the one remaining Mosaic bug — 1-D intermediates in
+# a gridded kernel crash the remote compile helper — is worked around
+# above (keepdims+transpose codebook norms). The kernel now runs on the
+# chip and matches the XLA formulation EXACTLY at every tested
+# (N, D, K) shape, timing at par (both are tunnel-RTT-dominated at
+# these sizes: ~1-2 ms measured, real device time tens of us). The XLA
+# formulation stays the default because it compiles to the same MXU
+# matmul with the argmin fused into the epilogue and is not a
+# measurable fraction of any model's step time.
 _USE_PALLAS_VQ = os.environ.get("CTVAE_PALLAS_VQ", "0") == "1"
 
 

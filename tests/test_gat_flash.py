@@ -121,3 +121,32 @@ def test_flash_gat_bf16_close_to_f32():
                                    np.asarray(out32), rtol=3e-2, atol=3e-2)
     finally:
         os.environ.pop("CTVAE_FLASH_GAT", None)
+
+
+def test_flash_auto_gating_scope(monkeypatch):
+    """CTVAE_FLASH_GAT=auto (default) routes through the kernel ONLY
+    inside flash_scope() (the causal path) AND on a TPU backend —
+    action/base steps keep the measured-faster XLA formulation."""
+    import jax as _jax
+
+    from ctvae_tpu.ops import gat as gat_mod
+
+    layer = gat_mod.DenseGATv2Layer(8, heads=2)
+    monkeypatch.delenv("CTVAE_FLASH_GAT", raising=False)
+    # CPU backend: never flash under auto, scope or not
+    assert not layer._use_flash()
+    with gat_mod.flash_scope():
+        assert not layer._use_flash()
+    # pretend-TPU backend: flash only inside the scope
+    monkeypatch.setattr(_jax, "default_backend", lambda: "tpu")
+    assert not layer._use_flash()
+    with gat_mod.flash_scope():
+        assert layer._use_flash()
+    assert not layer._use_flash()   # scope restored on exit
+    # explicit off wins everywhere
+    monkeypatch.setenv("CTVAE_FLASH_GAT", "0")
+    with gat_mod.flash_scope():
+        assert not layer._use_flash()
+    # force-on wins everywhere (tests run the interpreter on CPU)
+    monkeypatch.setenv("CTVAE_FLASH_GAT", "1")
+    assert layer._use_flash()
