@@ -195,6 +195,8 @@ def export_fn(fn: Callable, example_args: Sequence[Array], *,
     set (``Exported.nr_devices`` is recorded in the manifest). XLA
     inserts the collectives — same recipe as the training step.
     """
+    import os
+
     from jax.sharding import NamedSharding, PartitionSpec
 
     args = tuple(jnp.asarray(a) for a in example_args)
@@ -212,7 +214,20 @@ def export_fn(fn: Callable, example_args: Sequence[Array], *,
         jf = jax.jit(fn)
     if poly_batch:
         args = _polymorphic_batch(args)
-    return jexport.export(jf, platforms=tuple(platforms))(*args)
+    # One trace serves every platform in the artifact, so the trace must
+    # stay backend-portable: force the XLA attention path — a
+    # pallas_call baked in by CTVAE_FLASH_GAT on a TPU host would not
+    # lower for the artifact's cpu platform (and serving is
+    # inference-only, where the kernel's backward win is irrelevant).
+    prev = os.environ.get("CTVAE_FLASH_GAT")
+    os.environ["CTVAE_FLASH_GAT"] = "0"
+    try:
+        return jexport.export(jf, platforms=tuple(platforms))(*args)
+    finally:
+        if prev is None:
+            os.environ.pop("CTVAE_FLASH_GAT", None)
+        else:
+            os.environ["CTVAE_FLASH_GAT"] = prev
 
 
 def save_artifact(out_dir: str, exported: Dict[str, jexport.Exported],
