@@ -352,6 +352,30 @@ def bench_e2e_dsprites():
     out["e2e_ct_steps"] = steps
     out["e2e_ct_mode_mix"] = mode_counts
     out["e2e_ct_full_epoch"] = bool(full)
+
+    # ---- CelebA (JPEG decode path), only when the standin exists ------
+    # (generating 202k JPEGs takes ~15 min — done once offline via
+    # scripts/make_celeba_standin.py; skipped silently otherwise so the
+    # driver bench stays bounded)
+    if os.path.exists("Data/celeba/list_eval_partition.txt"):
+        try:
+            cdata = VAEDataset("Data/", dataset_name="Celeba",
+                               train_batch_size=256, val_batch_size=256,
+                               patch_size=IMG, distributed=False)
+            cdata.setup()
+            cmodel = vae_models["VanillaVAE"](
+                in_channels=3, latent_dim=128, img_size=IMG,
+                dtype=jnp.bfloat16)
+            ips, steps, images, _, full = _e2e_run(
+                cmodel, cdata, {"LR": 0.005, "kld_weight": 0.00025},
+                max_steps=None if full_epoch else 150)
+            out["e2e_celeba_img_per_sec"] = round(ips, 1)
+            out["e2e_celeba_steps"] = steps
+            out["e2e_celeba_full_epoch"] = bool(full)
+            out["e2e_celeba_host_img_per_sec"] = round(
+                _host_only_rate(cdata), 1)
+        except Exception as e:
+            print(f"warning: celeba e2e failed: {e!r}", file=sys.stderr)
     return out
 
 

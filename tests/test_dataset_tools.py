@@ -131,3 +131,32 @@ def test_disent_generator_and_loader_roundtrip(tmp_path, monkeypatch):
     assert len(t.transitions) > 0
     modes = t.mode_ranges()
     assert len(modes["action"]) == len(t.transitions)
+
+
+def test_celeba_standin_generator(tmp_path):
+    """scripts/make_celeba_standin.py emits the torchvision CelebA
+    layout at any scale: partition file + real JPEGs the production
+    loader (and its native decode path) reads."""
+    import sys
+
+    import numpy as np
+
+    sys.path.insert(0, os.path.join(REPO, "scripts"))
+    from make_celeba_standin import ensure_celeba_standin
+
+    from ctvae_tpu.data.celeba import MyCelebA
+    from ctvae_tpu.data.transforms import StandardTransform
+
+    root = str(tmp_path)
+    folder = ensure_celeba_standin(root, count=24, verbose=False)
+    assert os.path.exists(os.path.join(folder, "list_eval_partition.txt"))
+    # idempotent: a second call writes nothing new
+    ensure_celeba_standin(root, count=24, verbose=False)
+
+    ds = MyCelebA(root, split="train",
+                  transform=StandardTransform(32, crop=148))
+    assert len(ds) == 24  # all 24 fall in the train partition range
+    imgs, labels = ds.get_batch(np.arange(8))
+    assert imgs.shape == (8, 32, 32, 3) and imgs.dtype == np.float32
+    assert 0.0 <= float(imgs.min()) and float(imgs.max()) <= 1.0
+    assert labels.shape == (8, 40)
