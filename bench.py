@@ -82,6 +82,80 @@ def roofline_ms(flops: float, bytes_accessed: float,
                bytes_accessed / (hbm_gbps * 1e9)) * 1e3
 
 
+# v5e VPU throughput estimate: 8 sublanes x 128 lanes x 4 ALUs per
+# TensorCore at ~940 MHz ~= 3.85e12 elementwise flop/s (the scaling-book
+# hardware model). Transcendentals cost multiple VPU cycles but XLA's
+# cost analysis counts them ~1 flop/element, so a bound built on this
+# peak stays a true LOWER bound on step time.
+V5E_VPU_TFLOPS = 3.85
+
+
+def _jaxpr_mxu_flops(jaxpr) -> float:
+    """Analytic MXU flops (dot_general + conv_general_dilated, 2*...*K
+    each — XLA's own convention) of a jaxpr, recursing into inner
+    jaxprs (pjit/scan/cond/custom_vjp/remat). Used to SPLIT the XLA
+    cost-analysis total into an MXU part and a VPU (elementwise) part:
+    a two-term max(MXU, HBM) roofline makes elementwise-heavy steps
+    (the CT causal mode's O(B*S*T*H*F) leaky_relu domain) look far off
+    roofline when they are actually VPU-bound — round-3 VERDICT weak
+    item 1."""
+    import math
+    total = 0.0
+    for eqn in jaxpr.eqns:
+        prim = eqn.primitive.name
+        if prim == "dot_general":
+            lhs = eqn.invars[0].aval.shape
+            rhs = eqn.invars[1].aval.shape
+            (lc, rc), (lb, rb) = eqn.params["dimension_numbers"]
+            m = math.prod(d for i, d in enumerate(lhs)
+                          if i not in set(lc) | set(lb))
+            n = math.prod(d for i, d in enumerate(rhs)
+                          if i not in set(rc) | set(rb))
+            k = math.prod(lhs[i] for i in lc)
+            b = math.prod(lhs[i] for i in lb)
+            total += 2.0 * b * m * n * k
+        elif prim == "conv_general_dilated":
+            out = eqn.outvars[0].aval.shape
+            rhs = eqn.invars[1].aval.shape
+            dn = eqn.params["dimension_numbers"]
+            spatial = math.prod(rhs[i] for i in dn.rhs_spec[2:])
+            cin = rhs[dn.rhs_spec[1]]   # per feature group
+            total += 2.0 * math.prod(out) * cin * spatial
+        else:
+            mult = 1.0
+            if prim == "scan":
+                mult = float(eqn.params.get("length", 1))
+            inner = []
+            for v in eqn.params.values():
+                if hasattr(v, "eqns"):
+                    inner.append(v)
+                elif hasattr(v, "jaxpr") and hasattr(v.jaxpr, "eqns"):
+                    inner.append(v.jaxpr)
+                elif isinstance(v, (tuple, list)):
+                    sub = [b.jaxpr if hasattr(b, "jaxpr") else b
+                           for b in v if hasattr(b, "eqns")
+                           or hasattr(b, "jaxpr")]
+                    if sub:  # cond branches: bound by the costliest one
+                        inner.append(max(sub, key=_jaxpr_mxu_flops))
+            for sub in inner:
+                total += mult * _jaxpr_mxu_flops(sub)
+    return total
+
+
+def roofline3_ms(mxu_flops: float, vpu_flops: float,
+                 bytes_accessed: float) -> dict:
+    """Three-term v5e roofline: the step cannot run faster than its MXU
+    work at MXU peak, its elementwise work at VPU peak, or its HBM
+    traffic at HBM bandwidth (the three engines overlap, so the bound is
+    their max). Returns the bound and which term binds."""
+    terms = {"mxu": mxu_flops / (V5E_BF16_PEAK_TFLOPS * 1e12),
+             "vpu": vpu_flops / (V5E_VPU_TFLOPS * 1e12),
+             "hbm": bytes_accessed / (V5E_HBM_GBPS * 1e9)}
+    binding = max(terms, key=terms.get)
+    return {"ms": terms[binding] * 1e3, "binding": binding,
+            "terms_ms": {k: round(v * 1e3, 2) for k, v in terms.items()}}
+
+
 def measure_torch_reference_cpu(steps=4, batch=16):
     """Train-step img/s of the actual torch reference VanillaVAE on this
     host's CPU — the only reference throughput measurable in this
@@ -166,6 +240,7 @@ def bench_ct_step(mode, batch):
                         static_fwd_kwargs={"mode": mode}),
         donate_argnums=0)
     compiled = step.lower(state, batch_d).compile()
+    mxu_flops = _jaxpr_mxu_flops(jax.make_jaxpr(step)(state, batch_d).jaxpr)
     for _ in range(3):
         state, metrics = compiled(state, batch_d)
     _ = float(metrics["Reconstruction_Loss"])
@@ -183,16 +258,25 @@ def bench_ct_step(mode, batch):
     dt = max(time.perf_counter() - t0 - rtt * n_fetches, 1e-9)
     assert final == final, f"CT {mode} loss is NaN"
     ms = dt / CT_STEPS * 1e3
-    # Roofline placement for the CT modes (round-2 VERDICT item 5): the
-    # "causal is irreducibly 12x" claim becomes a number a regression can
-    # violate — pct_roofline collapsing means the step left its bound.
+    # Roofline placement for the CT modes (round-2 VERDICT item 5; VPU
+    # term added per round-3 weak item 1): the bound is the max of the
+    # MXU, VPU, and HBM terms — the step's XLA-counted flops are split
+    # into MXU work (dots/convs, analytic from the jaxpr) and VPU work
+    # (everything else: the elementwise attention domain, activations,
+    # optimizer). pct_roofline is against the BINDING term, so "causal
+    # is VPU-bound" is a falsifiable number, not an excuse.
     flops, bytes_acc = _cost(compiled)
-    bound = roofline_ms(flops, bytes_acc, V5E_BF16_PEAK_TFLOPS,
-                        V5E_HBM_GBPS)
+    vpu_flops = max(flops - mxu_flops, 0.0)
+    r3 = roofline3_ms(mxu_flops, vpu_flops, bytes_acc)
     info = {"gflops": round(flops / 1e9, 1),
+            "mxu_gflops": round(mxu_flops / 1e9, 1),
+            "vpu_gflops": round(vpu_flops / 1e9, 1),
             "gbytes": round(bytes_acc / 1e9, 2),
-            "roofline_ms": round(bound, 2),
-            "pct_roofline": round(100.0 * bound / ms, 1) if bound else None}
+            "roofline_ms": round(r3["ms"], 2),
+            "roofline_binding": r3["binding"],
+            "roofline_terms_ms": r3["terms_ms"],
+            "pct_roofline": round(100.0 * r3["ms"] / ms, 1)
+            if r3["ms"] else None}
     return ms, info
 
 
@@ -334,7 +418,11 @@ def bench_e2e_dsprites():
     out["e2e_host_img_per_sec"] = round(_host_only_rate(data), 1)
 
     # ---- CT-MCQ-VAE on TDSprites -------------------------------------
-    full_epoch = os.environ.get("CTVAE_BENCH_FULL", "0") == "1"
+    # FULL epochs by default (round-3 VERDICT item 3: the driver never
+    # set CTVAE_BENCH_FULL, so the reproducible artifact under-certified
+    # the full-epoch e2e claims; ~9 min extra is affordable). =0 opts
+    # back into the bounded windows for quick local runs.
+    full_epoch = os.environ.get("CTVAE_BENCH_FULL", "1") != "0"
     tdata = VAEDataset("Data/", dataset_name="TDSprites",
                        train_batch_size=128, val_batch_size=128,
                        patch_size=IMG, distributed=False,
@@ -396,6 +484,7 @@ def main():
         state = jax.device_put(state, replicated(mesh))
         compiled = step.lower(state, sbatch).compile()
         step_flops, step_bytes = _cost(compiled)
+        step_mxu = _jaxpr_mxu_flops(jax.make_jaxpr(step)(state, sbatch).jaxpr)
         # Timing methodology: through the remote-chip tunnel,
         # block_until_ready can acknowledge before execution finishes
         # (observed "26,800 TFLOP/s" on chained matmuls). Fetching the
@@ -459,7 +548,11 @@ def main():
             ms, info = bench_ct_step(mode, b)
             ct[key] = round(ms, 2)
             ct[f"ct_{mode}_pct_roofline"] = info["pct_roofline"]
+            ct[f"ct_{mode}_roofline_binding"] = info["roofline_binding"]
+            ct[f"ct_{mode}_roofline_terms_ms"] = info["roofline_terms_ms"]
             ct[f"ct_{mode}_gflops"] = info["gflops"]
+            ct[f"ct_{mode}_mxu_gflops"] = info["mxu_gflops"]
+            ct[f"ct_{mode}_vpu_gflops"] = info["vpu_gflops"]
             ct[f"ct_{mode}_gbytes"] = info["gbytes"]
         except Exception as e:
             print(f"warning: CT bench ({mode}) failed: {e!r}",
@@ -502,6 +595,15 @@ def main():
         "tflops_per_chip": round(tflops, 1) if step_flops else None,
         "step_gbytes_accessed": round(step_bytes / 1e9, 2)
         if step_bytes else None,
+        **({"step_pct_roofline": round(
+                100.0 * roofline3_ms(
+                    step_mxu, max(step_flops - step_mxu, 0.0),
+                    step_bytes)["ms"]
+                / (dt / BENCH_STEPS * 1e3), 1),
+            "step_roofline_binding": roofline3_ms(
+                step_mxu, max(step_flops - step_mxu, 0.0),
+                step_bytes)["binding"]}
+           if step_flops and step_bytes else {}),
         "infer_images_per_sec": infer_ips,
         **a100,
         **ct,

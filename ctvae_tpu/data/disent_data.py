@@ -90,6 +90,30 @@ def _open_npz_member_mmap(path: str, key: str) -> np.ndarray:
                      shape=shape)
 
 
+def _source_fingerprint(folder: str) -> str:
+    """Cheap content fingerprint of a dataset folder: sha1 over the
+    sorted (relpath, size, mtime_ns) of every artifact file, excluding
+    the transform caches themselves. Replacing the dataset archive with
+    different content of the SAME length (e.g. swapping a stand-in for
+    the real download, or regenerating a split CSV) changes this, which
+    invalidates the persisted ``tcache_*`` files — a row-count check
+    alone cannot see such a swap."""
+    import hashlib
+    h = hashlib.sha1()
+    for dirpath, _, names in sorted(os.walk(folder)):
+        for name in sorted(names):
+            if name.startswith("tcache_"):
+                continue
+            p = os.path.join(dirpath, name)
+            try:
+                st = os.stat(p)
+            except OSError:
+                continue
+            rel = os.path.relpath(p, folder)
+            h.update(f"{rel}|{st.st_size}|{st.st_mtime_ns}\n".encode())
+    return h.hexdigest()
+
+
 def _load_split_csv(path: str) -> Tuple[List[int], List[int]]:
     with open(path) as f:
         rows = list(csv.reader(f))[1:]
@@ -160,11 +184,23 @@ class ArrayFactorDataset:
             folder, f"tcache_{self.split}_c{self.transform.crop}_{ps}.npy")
 
     def _build_cache(self, chunk: int = 4096) -> None:
+        import json
         n = len(self.index_map)
         path = self._cache_path()
+        fp = (_source_fingerprint(os.path.join(self.root, self.base_folder))
+              if path else "")
         if path and os.path.exists(path):
             arr = np.load(path, mmap_mode="r")
-            if len(arr) == n:          # stale-split guard
+            meta = {}
+            try:
+                with open(path + ".src.json") as f:
+                    meta = json.load(f)
+            except (OSError, ValueError):
+                pass
+            # stale guards: row count (split change) AND source
+            # fingerprint (same-length content swap — e.g. replacing a
+            # stand-in npz with the real archive serves identical n)
+            if len(arr) == n and meta.get("fingerprint") == fp:
                 self._cache = arr
                 return
         first = self.transform.batch(
@@ -180,6 +216,8 @@ class ArrayFactorDataset:
             tmp = path + f".tmp{os.getpid()}.npy"
             np.save(tmp.removesuffix(".npy"), out)
             os.replace(tmp, path)
+            with open(path + ".src.json", "w") as f:
+                json.dump({"fingerprint": fp, "n": n}, f)
         self._cache = out
 
     def __len__(self):

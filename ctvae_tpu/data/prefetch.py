@@ -71,9 +71,12 @@ def prefetch_to_device(batches: Iterator[dict], mesh, depth: int = 2,
             return
         arrays = {k: v for k, v in item.items() if not isinstance(v, str)}
         on_device = shard_batch(arrays, mesh)
-        for k in ("image", "input_y"):
-            v = on_device.get(k)
-            if v is not None and v.dtype == np.uint8:
+        # One shared rule with experiment.py's setup/sample/repr paths:
+        # EVERY uint8 array is a [0,255] image payload and gets the
+        # on-device /255 (a future uint8 key can never silently reach
+        # the jitted train step raw).
+        for k, v in on_device.items():
+            if getattr(v, "dtype", None) == np.uint8:
                 on_device[k] = _normalize_u8(v)
         on_device.update({k: v for k, v in item.items()
                           if isinstance(v, str)})

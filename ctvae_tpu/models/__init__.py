@@ -32,6 +32,7 @@ from .wae_mmd import WAE_MMD
 from .vq_vae import VQVAE
 from .mcq_vae import MCQVAE
 from .ct_vae import CausalTransition, CTMCQVAE
+from .twostage_vae import TwoStageVAE
 from .quantizers import MultipleCodebookVectorQuantizer, VectorQuantizerMS
 
 vae_models = {
@@ -59,6 +60,10 @@ vae_models = {
     "ConditionalVAE": ConditionalVAE,
     "CategoricalVAE": CategoricalVAE,
 }
+
+# TwoStageVAE stays UNREGISTERED, mirroring the reference's disabled
+# status (/root/reference/models/__init__.py:16 comments it out of the
+# registry); `from ctvae_tpu.models import TwoStageVAE` to use it.
 
 # Aliases (reference /root/reference/models/__init__.py:29-32)
 vae_models["VAE"] = VanillaVAE

@@ -119,16 +119,40 @@ def flash_scope():
     CTVAE_FLASH_GAT=auto (the default), ``_use_flash`` consults this
     scope so each jitted step mode bakes in its own best path. Tracing
     happens inside the context, and the per-mode train-step caches key
-    the compiled graphs, so the choice is stable per mode."""
+    the compiled graphs, so the choice is stable per mode. Reentrant:
+    the prior flag value is restored on exit (token save/restore), so
+    nesting or enclosing scopes survive."""
+    prev = getattr(_flash_scope_state, "on", False)
     _flash_scope_state.on = True
     try:
         yield
     finally:
-        _flash_scope_state.on = False
+        _flash_scope_state.on = prev
+
+
+@_contextlib.contextmanager
+def force_xla_scope():
+    """Thread-local override that pins ``_use_flash`` to False for any
+    trace inside the context — beats every CTVAE_FLASH_GAT setting.
+    Used by serving/export.py: an exported artifact must stay
+    backend-portable (a baked-in pallas_call would not lower for the
+    artifact's cpu platform), and mutating process-global os.environ
+    around export would race a train step being traced concurrently on
+    another thread. Reentrant (token save/restore)."""
+    prev = getattr(_flash_scope_state, "force_xla", False)
+    _flash_scope_state.force_xla = True
+    try:
+        yield
+    finally:
+        _flash_scope_state.force_xla = prev
 
 
 def _in_flash_scope() -> bool:
     return bool(getattr(_flash_scope_state, "on", False))
+
+
+def _in_force_xla_scope() -> bool:
+    return bool(getattr(_flash_scope_state, "force_xla", False))
 
 
 def _onewalk_enabled() -> bool:
@@ -229,6 +253,8 @@ class DenseGATv2Layer(nn.Module):
         chips on the XLA path instead), and pointless without
         fused_logits (parity tests pin the einsum path)."""
         if not self.fused_logits or self.block_cols or self.seq_axis:
+            return False
+        if _in_force_xla_scope():   # export pins the portable XLA path
             return False
         v = os.environ.get("CTVAE_FLASH_GAT", "auto")
         if v == "1":

@@ -219,15 +219,11 @@ def export_fn(fn: Callable, example_args: Sequence[Array], *,
     # pallas_call baked in by CTVAE_FLASH_GAT on a TPU host would not
     # lower for the artifact's cpu platform (and serving is
     # inference-only, where the kernel's backward win is irrelevant).
-    prev = os.environ.get("CTVAE_FLASH_GAT")
-    os.environ["CTVAE_FLASH_GAT"] = "0"
-    try:
+    # Thread-local scope, NOT an os.environ mutation: a train step
+    # traced concurrently on another thread keeps its own routing.
+    from ..ops.gat import force_xla_scope
+    with force_xla_scope():
         return jexport.export(jf, platforms=tuple(platforms))(*args)
-    finally:
-        if prev is None:
-            os.environ.pop("CTVAE_FLASH_GAT", None)
-        else:
-            os.environ["CTVAE_FLASH_GAT"] = prev
 
 
 def save_artifact(out_dir: str, exported: Dict[str, jexport.Exported],

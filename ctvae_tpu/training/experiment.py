@@ -45,6 +45,13 @@ def _has_modes(model: BaseVAE) -> bool:
     return hasattr(type(model), "FORWARD_MODES")
 
 
+def _is_watch_key(k: str) -> bool:
+    """Per-module observability scalars emitted by make_train_step's
+    watch_modules — logged on the watch_gradients cadence, not
+    log_every (reference wandb.watch uses its own log_freq=500)."""
+    return k.startswith(("grad_norm/", "param_norm/"))
+
+
 def install_preemption_handler(experiment: "VAEXperiment",
                                signals=None) -> None:
     """Route SIGTERM (the preemption notice on preemptible TPU VMs) to a
@@ -97,6 +104,10 @@ class VAEXperiment:
         else:
             self.mesh = make_mesh(model_axis=self.model_axis)
         self.log_every = log_every
+        # exp_params.watch_gradients: N > 0 logs per-top-level-module
+        # grad/param norms every N steps — wandb.watch parity
+        # (/root/reference/run.py:55 uses log_freq=500)
+        self.watch_every = int(exp_params.get("watch_gradients", 0) or 0)
         self.kld_weight = float(exp_params.get("kld_weight", 1.0))
         # smallest leaf (elements) worth sharding — below this the
         # all-gather latency costs more than the memory saved
@@ -214,7 +225,8 @@ class VAEXperiment:
             fn = make_train_step(
                 self.model, self.txs, M_N=self.kld_weight,
                 optimizer_idx=opt_idx, fwd_kwargs_keys=FWD_KEYS,
-                static_fwd_kwargs=static)
+                static_fwd_kwargs=static,
+                watch_modules=self.watch_every > 0)
             if self.sharding == "fsdp":
                 # pin the output layout so updated params/moments stay
                 # ZeRO-sharded step over step (see mesh.py)
@@ -253,14 +265,24 @@ class VAEXperiment:
                     self.state, metrics = step(self.state, sbatch)
             images += int(sbatch["image"].shape[0])
             self.global_step += 1
-            if self.logger is not None and \
-                    self.global_step % self.log_every == 0:
-                logged = dict(jax.device_get(metrics))
-                for i, sched in enumerate(self.lr_schedules):
-                    suffix = "" if i == 0 else f"_{i + 1}"
-                    logged[f"lr{suffix}"] = np.float32(
-                        sched(self.global_step))
-                self.logger.log_all(logged, self.global_step)
+            if self.logger is not None:
+                at_log = self.global_step % self.log_every == 0
+                at_watch = bool(self.watch_every) and \
+                    self.global_step % self.watch_every == 0
+                if at_log or at_watch:
+                    logged = dict(jax.device_get(metrics))
+                    if not at_watch:     # watch keys ride their own cadence
+                        logged = {k: v for k, v in logged.items()
+                                  if not _is_watch_key(k)}
+                    if not at_log:
+                        logged = {k: v for k, v in logged.items()
+                                  if _is_watch_key(k)}
+                    if at_log:
+                        for i, sched in enumerate(self.lr_schedules):
+                            suffix = "" if i == 0 else f"_{i + 1}"
+                            logged[f"lr{suffix}"] = np.float32(
+                                sched(self.global_step))
+                    self.logger.log_all(logged, self.global_step)
         if metrics is None:
             raise RuntimeError(
                 f"train epoch {epoch} produced zero batches — the dataset "

@@ -95,8 +95,18 @@ def make_train_step(
     optimizer_idx: int = 0,
     fwd_kwargs_keys: Sequence[str] = ("labels",),
     static_fwd_kwargs: Optional[Dict[str, Any]] = None,
+    watch_modules: bool = False,
 ) -> Callable[[TrainState, Dict[str, Array]], Tuple[TrainState, Dict[str, Array]]]:
     """Build a jittable train step.
+
+    ``watch_modules=True`` adds per-top-level-module gradient and
+    parameter norms (``grad_norm/<module>``, ``param_norm/<module>``)
+    to the returned metrics — the per-parameter observability the
+    reference gets from ``wb_logger.watch(model, log_freq=500)``
+    (/root/reference/run.py:55). Computed inside the jitted step (one
+    fused reduction per module, negligible next to the model step); the
+    experiment layer throttles how often they are WRITTEN
+    (``exp_params.watch_gradients``).
 
     The reference passes ``M_N=kld_weight`` plus ``optimizer_idx`` /
     ``batch_idx`` into every ``loss_function``
@@ -141,6 +151,14 @@ def make_train_step(
         updates, new_opt = tx.update(grads, state.opt_states[optimizer_idx],
                                      state.params)
         new_params = optax.apply_updates(state.params, updates)
+        if watch_modules:
+            # per-top-level-module norms: distinguishes a frozen
+            # backbone (zero grads) from a live ct_layer in the CT
+            # two-stage recipe, which one global scalar cannot
+            for k, v in dict(grads).items():
+                losses[f"grad_norm/{k}"] = optax.global_norm(v)
+            for k, v in dict(new_params).items():
+                losses[f"param_norm/{k}"] = optax.global_norm(v)
         opt_states = tuple(
             new_opt if i == optimizer_idx else s
             for i, s in enumerate(state.opt_states))

@@ -62,15 +62,16 @@ def ensure_celeba_standin(data_root: str = "Data/",
                                                   else 2)
                 f.write(f"{i:06d}.jpg {split}\n")
 
-    rng = np.random.default_rng(0)
     made = 0
     for i in range(1, count + 1):
         path = os.path.join(img_dir, f"{i:06d}.jpg")
         if os.path.exists(path):
-            # keep the rng stream aligned so resumes render identically
-            rng = np.random.default_rng(i)
             continue
-        Image.fromarray(render(i, rng)).save(path, quality=80)
+        # per-image seed: image i's pixels depend only on i, never on
+        # how many images a previous (interrupted) run already wrote —
+        # fresh and resumed runs render byte-identical JPEGs
+        Image.fromarray(render(i, np.random.default_rng(i))).save(
+            path, quality=80)
         made += 1
         if verbose and made % 20000 == 0:
             print(f"  wrote {made} jpegs (at {i}/{count})", flush=True)

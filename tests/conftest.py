@@ -27,6 +27,36 @@ except Exception:
 
 import pytest  # noqa: E402
 
+# -- quick CI tier (`pytest -m quick`) --------------------------------
+# One representative, fast test per subsystem (~10 min contended on the
+# 1-core CI host vs ~80+ min for the full suite). Curated here rather
+# than scattered as decorators so the tier's composition is auditable
+# in one place.
+QUICK_TESTS = {
+    "test_loss_golden.py::test_vanilla_vae_loss_closed_form",   # losses
+    "test_vq.py::test_quantizer_inds_and_straight_through",     # VQ ops
+    "test_ct_vae.py::test_dense_gatv2_matches_sparse_semantics",  # GAT
+    "test_ct_vae.py::test_causal_transition_modes",     # CT internals
+    "test_data.py::test_vaedataset_end_to_end_synthetic",  # data layer
+    "test_disent_loaders.py::test_dsprites_loader",     # disent readers
+    "test_native.py::test_crop_resize_matches_pil_downscale",  # C++ ext
+    "test_metrics.py::test_mig_analytic_exact",         # metrics
+    "test_parallel.py::test_tp_step_matches_dp_step",   # sharding
+    "test_experiment.py::test_fit_trains_and_checkpoints",  # train loop
+    "test_export.py::test_vanilla_artifact_round_trip",  # serving
+    "test_hyp_search_cli.py::test_sample_params_to_tune_semantics",
+    "test_dataset_tools.py::test_celeba_get_batch_native_matches_getitem",
+    "test_reference_parity.py::test_vanilla_loss_parity",  # torch parity
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        rel = item.nodeid.split("/")[-1]
+        base = rel.split("[")[0]
+        if base in QUICK_TESTS:
+            item.add_marker(pytest.mark.quick)
+
 
 @pytest.fixture(scope="session")
 def devices():

@@ -47,6 +47,43 @@ def test_fit_trains_and_checkpoints(tmp_path):
     assert index["best"][0]["score"] <= val["val_Reconstruction_Loss"] + 1e-6
 
 
+def test_watch_gradients_logs_per_module_norms(tmp_path):
+    """exp_params.watch_gradients: N — per-top-level-module grad/param
+    norms on their own N-step cadence (the reference's
+    wb_logger.watch(model, log_freq=500), /root/reference/run.py:55)."""
+    exp, _ = _tiny_experiment(
+        tmp_path, logger=True,
+        exp_params={"LR": 1e-3, "kld_weight": 0.005,
+                    "watch_gradients": 2})
+    calls = []
+    orig = exp.logger.log_all
+    exp.logger.log_all = lambda vals, step, **kw: (
+        calls.append((step, dict(vals))), orig(vals, step, **kw))[-1]
+    exp.fit(max_epochs=1)
+
+    modules = set(exp.state.params.keys())
+    assert modules, "expected top-level param modules"
+    want = ({f"grad_norm/{m}" for m in modules}
+            | {f"param_norm/{m}" for m in modules})
+    train_calls = [(s, v) for s, v in calls if "loss" in v or any(
+        k.startswith("grad_norm/") for k in v)]
+    watched = [(s, v) for s, v in train_calls
+               if any(k.startswith("grad_norm/") for k in v)]
+    unwatched = [(s, v) for s, v in train_calls
+                 if not any(k.startswith("grad_norm/") for k in v)
+                 and "val_loss" not in v]
+    assert watched and unwatched
+    for s, v in watched:
+        assert s % 2 == 0
+        got = {k for k in v if k.startswith(("grad_norm/", "param_norm/"))}
+        assert got == want, (got, want)
+        for k in want:
+            assert np.isfinite(v[k])
+    # off-cadence steps never carry the per-module keys
+    for s, v in unwatched:
+        assert s % 2 == 1
+
+
 def test_fit_fsdp_trains_and_resumes(tmp_path):
     """exp_params.sharding: fsdp — full orchestrated training with
     params + Adam moments ZeRO-sharded over the 8-device data axis:

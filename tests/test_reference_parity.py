@@ -46,7 +46,8 @@ def ref_models():
         mods = {n: importlib.import_module(f"models.{n}") for n in
                 ["vanilla_vae", "beta_vae", "logcosh_vae", "iwae", "miwae",
                  "cat_vae", "joint_vae", "betatc_vae", "gamma_vae",
-                 "vq_vae", "mcq_vae", "dip_vae", "mssim_vae"]}
+                 "vq_vae", "mcq_vae", "dip_vae", "mssim_vae",
+                 "twostage_vae"]}
         yield mods
     finally:
         sys.path.remove(REF)
@@ -86,6 +87,58 @@ def test_vanilla_loss_parity(ref_models):
     _close(r["loss"], ours["loss"])
     _close(r["Reconstruction_Loss"], ours["Reconstruction_Loss"])
     _close(r["KLD"], ours["KLD"])
+
+
+def test_twostage_loss_parity(ref_models):
+    """Stage-1 loss of the (reference-disabled) TwoStageVAE matches the
+    reference exactly (/root/reference/models/twostage_vae.py:148-170 —
+    identical to the VanillaVAE objective); stage 2 — the half upstream
+    left dormant — trains a latent VAE on stop-gradient z."""
+    import jax
+    import jax.numpy as jnp
+    from ctvae_tpu.models.twostage_vae import TwoStageVAE
+
+    B, D = 8, 6
+    x, rec = _imgs((B, 16, 16, 3), 7), _imgs((B, 16, 16, 3), 8)
+    rng = np.random.default_rng(9)
+    mu = rng.normal(size=(B, D)).astype(np.float32)
+    lv = (rng.normal(size=(B, D)) * 0.3).astype(np.float32)
+
+    ref = ref_models["twostage_vae"].TwoStageVAE(3, D)
+    r = ref.loss_function(_nchw(rec), _nchw(x), torch.from_numpy(mu),
+                          torch.from_numpy(lv), M_N=0.005)
+    model = TwoStageVAE(in_channels=3, latent_dim=D, hidden_dims=(8, 16),
+                        hidden_dims2=(16, 16), img_size=16)
+    ours = model.loss_function(
+        {"recons": jnp.asarray(rec), "input": jnp.asarray(x),
+         "mu": jnp.asarray(mu), "log_var": jnp.asarray(lv)}, M_N=0.005)
+    _close(r["loss"], ours["loss"])
+    _close(r["Reconstruction_Loss"], ours["Reconstruction_Loss"])
+    _close(r["KLD"], ours["KLD"])
+
+    # full forward carries both stages' outputs; reference module tree
+    # (encoder2/decoder2/fc_mu2/fc_var2, :75-98) exists in the pytree
+    key = jax.random.PRNGKey(0)
+    rngs = {"params": key, "reparam": key, "noise": key, "dropout": key,
+            "gumbel": key}
+    variables = model.init(rngs, jnp.asarray(x), train=True)
+    for m in ("encoder2", "decoder2", "fc_mu2", "fc_var2"):
+        assert m in variables["params"], m
+    out = model.apply(variables, jnp.asarray(x), train=True, rngs=rngs,
+                      mutable=["batch_stats"])[0]
+    assert out["z_hat"].shape == (B, D)
+    # stage-2 objective is finite and independent of the stage-1 graph
+    l2 = model.loss_function(out, M_N=0.005)          # stage-1 selector
+    model2 = TwoStageVAE(in_channels=3, latent_dim=D, hidden_dims=(8, 16),
+                         hidden_dims2=(16, 16), img_size=16, train_stage=2)
+    l2b = model2.loss_function(out, M_N=0.005)
+    assert np.isfinite(float(l2["loss"]))
+    assert np.isfinite(float(l2b["loss"]))
+    assert float(l2b["Reconstruction_Loss"]) != float(l2["Reconstruction_Loss"])
+    # two-stage sampling path produces images
+    samp = model.apply(variables, method=lambda mdl: mdl.sample(
+        4, two_stage=True), rngs=rngs)
+    assert samp.shape == (4, 16, 16, 3)
 
 
 def test_beta_vae_capacity_parity(ref_models):
