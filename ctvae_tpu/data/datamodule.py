@@ -51,17 +51,19 @@ class _SyntheticAdapter(SyntheticDataset):
 
 
 def _t_synthetic(data_dir="", split="train", transform=None, img_size=64,
-                 factor_sizes=None, **kw):
+                 factor_sizes=None, split_cuts=None, **kw):
     """True causal transition dataset over the synthetic factor grid:
     pairs differ in exactly one factor, the action names it — so CT-VAE
     can genuinely learn (and tests can measure) causal structure, unlike
     random pairings (transitions built in-memory, no variation_attrs
     file needed). ``factor_sizes`` (data_params passthrough) scales the
-    grid; default (5, 5, 3, 4) = 300 images."""
+    grid; default (5, 5, 3, 4) = 300 images. ``split_cuts`` moves the
+    train/valid/test boundaries (see SyntheticGridDataset)."""
     from .synthetic import GRID_FACTOR_SIZES, SyntheticGridDataset
     base = SyntheticGridDataset(
         img_size=img_size, split=split,
-        factor_sizes=tuple(factor_sizes or GRID_FACTOR_SIZES))
+        factor_sizes=tuple(factor_sizes or GRID_FACTOR_SIZES),
+        split_cuts=tuple(split_cuts or (0.7, 0.85)))
     ds = TransitionDataset.__new__(TransitionDataset)
     ds.dataset = base
     ds.num_variations = len(base.factor_sizes)

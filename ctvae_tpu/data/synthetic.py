@@ -119,7 +119,8 @@ class SyntheticGridDataset:
 
     def __init__(self, img_size: int = 64, channels: int = 3,
                  split: str = "train", seed: int = 0,
-                 factor_sizes=GRID_FACTOR_SIZES):
+                 factor_sizes=GRID_FACTOR_SIZES,
+                 split_cuts: Tuple[float, float] = (0.7, 0.85)):
         self.factor_sizes = tuple(factor_sizes)
         grid = np.indices(self.factor_sizes).reshape(
             len(self.factor_sizes), -1).T
@@ -128,10 +129,13 @@ class SyntheticGridDataset:
         n = len(grid)
         # contiguous (not random) split chunks: grid neighbors along the
         # fast axes mostly share a split, so every split keeps a healthy
-        # population of in-split transition pairs
+        # population of in-split transition pairs. ``split_cuts`` moves
+        # the train/valid/test boundaries — the end-task comparison uses
+        # a larger valid chunk so val causal_acc has >=1,000 samples
+        # (quantum <=0.001 instead of the default grid's 1/176).
         split_ids = np.zeros(n, np.int64)
-        split_ids[int(n * 0.7): int(n * 0.85)] = 1
-        split_ids[int(n * 0.85):] = 2
+        split_ids[int(n * split_cuts[0]): int(n * split_cuts[1])] = 1
+        split_ids[int(n * split_cuts[1]):] = 2
         self.split_ids = split_ids
         want = {"train": (0,), "valid": (1,), "test": (2,),
                 "all": (0, 1, 2)}[split]

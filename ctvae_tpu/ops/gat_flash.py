@@ -1,38 +1,42 @@
-"""Flash-fused dense GATv2 attention — Pallas TPU kernel.
+"""Flash-fused dense GATv2 attention — Pallas TPU kernel (v2 layout).
 
-One kernel program per (batch row, head) computes the whole attention
-for that head in VMEM: edge logits ``e[s,t] = att . leaky(xl_s + xr_t +
-adj_st * we)``, the masked softmax over *incoming* sources s, and the
-alpha-weighted aggregation ``out[t] = sum_s alpha[s,t] xl[s]`` — the
-[S,T,F] pre-activation never reaches HBM, and softmax + aggregation
-fuse into the same VMEM residency instead of separate XLA fusions.
+Round-4 redesign (round-3 VERDICT item 2). The v1 kernel ran one
+program per (batch row, head): at the CT attention shapes (H=13 heads,
+F=100 features) that is B*13 tiny programs whose [S,T,F] tiles waste
+28% of the 128-lane registers (F=100) and whose per-program overhead
+dominated — measured 12% SLOWER than XLA on the action/base modes and
+6.8 ms fwd / 12.4 ms bwd inside the causal step (59% of the whole
+step, scripts/profile_ct.py).
 
-The backward is a second Pallas kernel that re-walks the [S,T,F] domain
-ONCE, deriving d_xl / d_xr / d_adj / d_we / d_att in registers from the
-recomputed pre-activation. XLA's fused+checkpointed formulation
-(ops/gat.py ``fused_logits``) walks that domain ~4x in backward (one
-recompute per gradient reduction — measured via scripts/profile_ct.py:
-fusion.32/33/34 dominate the CT causal step); this kernel's 2 total
-walks (1 fwd + 1 bwd) are the speed-of-light for exact gradients.
+v2 folds ALL heads into the lane dimension and chunks targets instead:
 
-Semantics are IDENTICAL to DenseGATv2Layer's XLA path (softmax over
-incoming real edges only, zero rows for edgeless targets, leaky grad 1
-at 0): pinned value- and gradient-exact in tests/test_gat_flash.py.
+* one program per (batch row, target chunk): grid (B, ceil(T/Tc)) —
+  13x fewer programs, each 13x larger;
+* every [.., H*F] array uses H*F (=1300) lanes: 1.5% pad waste instead
+  of 28%;
+* the per-head logit reduction e[t,s,h] = sum_f act[t,s,h,f] att[h,f]
+  runs on the MXU as act[Tc*S, HF] @ A[HF, H] with the block-diagonal
+  matrix A[h*F+f, h] = att[h,f] (and head-expansion back to HF lanes
+  uses the 0/1 indicator E = A's sparsity pattern) — what was a VPU
+  lane reduction is now a matmul;
+* the in-kernel domain is [Tc, S, HF] (targets major, sources sublane,
+  head*feature lanes): every BlockSpec's last two dims are then either
+  full array dims (S, HF, H) or the 8-divisible chunk Tc, satisfying
+  the Mosaic tiling rule with ZERO in-kernel transposes; adj/mask ride
+  pre-transposed as [B, T, S].
 
-STATUS (2026-08-20): VALIDATED ON CHIP. The round-2 toolchain hang is
-gone; two Mosaic remote-compile bugs remained and are worked around in
-the kernels (1-D intermediates and feeding the 3-D lane-reduce straight
-into the column softmax both crash the compile helper — we/att stay
-2-D and the logits stage through a VMEM scratch; bisected 2026-08-20).
-Measured v5e at the causal headline attention shapes (B192 T65 H13 F100
-bf16): fwd 9.1 ms (par with XLA), fwd+bwd 21.0 ms vs 25.6 ms for the
-best XLA formulation (-18%); values exact, gradients exact in f32 and
-within ~1 bf16 ulp in bf16 (the alpha residual is stored f32). Full CT
-causal train step: 38.3 -> 32.7 ms at B16 (+15% throughput). The
-action/base steps measure ~12% SLOWER under the kernel (tiny per-(b,h)
-programs vs XLA's fused one-walk), so the default CTVAE_FLASH_GAT=auto
-enables it ONLY inside the causal path's ``flash_scope()``
-(ops/gat.py); =1 forces it everywhere, =0 disables.
+The backward re-walks the [Tc,S,HF] domain ONCE per chunk, deriving
+all five gradients with the same MXU tricks; d_xl / d_we / d_att
+accumulate across target chunks by revisiting the same output block
+(the TPU grid is sequential). Semantics are IDENTICAL to
+DenseGATv2Layer's XLA path (softmax over incoming real edges only,
+zero rows for edgeless targets, leaky grad 1 at 0): pinned value- and
+gradient-exact in tests/test_gat_flash.py.
+
+Mosaic remote-compile notes (bisected 2026-08-20, see ops/vq.py): 1-D
+intermediates crash the toolchain — we/att ride as [1, HF]; reductions
+keep keepdims until the final store; the HF->1 lane reduction for
+d_adj stages through a VMEM scratch.
 
 The reference has no analogue — its GATv2 runs in torch-geometric CUDA
 scatter kernels (/root/reference/models/ct_mcq_vae.py:102-114).
@@ -41,7 +45,7 @@ scatter kernels (/root/reference/models/ct_mcq_vae.py:102-114).
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+import os
 
 import jax
 import jax.numpy as jnp
@@ -53,107 +57,165 @@ Array = jax.Array
 NEG = -1e30
 
 
-def _fwd_kernel(xl_ref, xr_ref, adj_ref, mask_ref, we_ref, att_ref,
-                out_ref, alpha_ref, e_scr, *, ns: float):
-    """One (b, h) program. Blocks: xl/xr [1,1,S|T,F], adj/mask [1,S,T],
-    we/att [1,1,F]; out [1,1,T,F], alpha [1,1,S,T]; e_scr VMEM [S,T]."""
-    xl = xl_ref[0, 0].astype(jnp.float32)          # [S, F]
-    xr = xr_ref[0, 0].astype(jnp.float32)          # [T, F]
-    adj = adj_ref[0].astype(jnp.float32)           # [S, T]
-    mask = mask_ref[0] != 0                        # [S, T] (passed as 0/1)
-    # we/att stay 2-D [1, F]: 1-D intermediates in a gridded kernel
-    # crash this toolchain's Mosaic remote-compile (see ops/vq.py).
-    we = we_ref[0].astype(jnp.float32)             # [1, F]
-    att = att_ref[0].astype(jnp.float32)           # [1, F]
+def _tc(T: int) -> int:
+    """Target-chunk size: CTVAE_FLASH_TC overrides; default covers
+    T<=32 in one program, else 16-row chunks (VMEM-bounded: the
+    [Tc,S,HF] f32 workspaces are ~5.4 MB at the CT shapes)."""
+    env = os.environ.get("CTVAE_FLASH_TC")
+    if env:
+        return max(1, int(env))
+    return T if T <= 32 else 16
 
-    pre = (xl[:, None, :] + xr[None, :, :]
-           + adj[:, :, None] * we[None, :, :])     # [S, T, F]
+
+def _fwd_kernel(xl_ref, xr_ref, adjt_ref, maskt_ref, we_ref, att_ref,
+                a_ref, e_ref, out_ref, alpha_ref, *, ns: float):
+    """One (b, tc) program. xl [1,S,HF], xr [1,Tc,HF], adjT/maskT
+    [1,Tc,S], we/att [1,HF], A [HF,H], E [H,HF]; out [1,Tc,HF],
+    alpha [1,Tc,S,H]. Domain [Tc,S,HF]: targets major, sources
+    sublanes, head*feature lanes."""
+    xl = xl_ref[0].astype(jnp.float32)             # [S, HF]
+    xr = xr_ref[0].astype(jnp.float32)             # [Tc, HF]
+    adjt = adjt_ref[0].astype(jnp.float32)         # [Tc, S]
+    # arithmetic masking throughout: mf is exactly 0/1, so e*mf +
+    # NEG*(1-mf) == where(mask, e, NEG) bit-for-bit — and a where()
+    # whose bool operand broadcasts a single lane over H crashes this
+    # toolchain's Mosaic remote-compile (bisected 2026-08-21)
+    mf = (maskt_ref[0].astype(jnp.float32) != 0
+          ).astype(jnp.float32)[:, :, None]         # [Tc, S, 1]
+    we = we_ref[...].astype(jnp.float32)           # [1, HF]
+    A = a_ref[...].astype(jnp.float32)             # [HF, H]
+    E = e_ref[...].astype(jnp.float32)             # [H, HF]
+    Tc, S = adjt.shape
+    HF = xl.shape[-1]
+
+    pre = (xr[:, None, :] + xl[None, :, :]
+           + adjt[:, :, None] * we[None, :, :])    # [Tc, S, HF]
     act = jnp.where(pre >= 0, pre, ns * pre)
-    # stage the logits through VMEM scratch: feeding the 3-D lane-reduce
-    # result straight into the column softmax trips the same Mosaic
-    # remote-compile failure as the 1-D intermediates (bisected
-    # 2026-08-20); the round-trip forces a clean 2-D layout and costs
-    # one [S,T] VMEM write/read
-    e_scr[...] = jnp.sum(act * att[None, :, :], axis=-1)   # [S, T]
-    e = e_scr[...]
+    # per-head logit reduction on the MXU: [Tc*S, HF] @ [HF, H]
+    e3 = jax.lax.dot_general(act.reshape(Tc * S, HF), A,
+                             (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32
+                             ).reshape(Tc, S, H := A.shape[1])
+    e3 = e3 * mf + NEG * (1.0 - mf)
+    e3 = e3 - jnp.max(e3, axis=1, keepdims=True)   # over sources s
+    w = jnp.exp(e3) * mf
+    denom = jnp.sum(w, axis=1, keepdims=True)      # [Tc, 1, H]
+    alpha3 = w / (denom + (denom == 0).astype(jnp.float32))
 
-    e = jnp.where(mask, e, NEG)
-    e = e - jnp.max(e, axis=0, keepdims=True)       # over sources s
-    w = jnp.where(mask, jnp.exp(e), 0.0)
-    denom = jnp.sum(w, axis=0, keepdims=True)
-    alpha = w / jnp.where(denom == 0, 1.0, denom)   # [S, T]
+    # aggregation: expand alpha back to HF lanes via the indicator
+    # matmul, then one multiply+reduce walk of the [Tc,S,HF] domain
+    alpha_exp = jax.lax.dot_general(alpha3.reshape(Tc * S, H), E,
+                                    (((1,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32
+                                    ).reshape(Tc, S, HF)
+    out = jnp.sum(alpha_exp * xl[None, :, :], axis=1)   # [Tc, HF]
+    out_ref[0] = out.astype(out_ref.dtype)
+    alpha_ref[0] = alpha3.astype(alpha_ref.dtype)
 
-    out = jax.lax.dot_general(alpha, xl, (((0,), (0,)), ((), ())),
-                              preferred_element_type=jnp.float32)  # [T, F]
-    out_ref[0, 0] = out.astype(out_ref.dtype)
-    alpha_ref[0, 0] = alpha.astype(alpha_ref.dtype)
 
+def _bwd_kernel(xl_ref, xr_ref, adjt_ref, maskt_ref, we_ref, att_ref,
+                a_ref, e_ref, alpha_ref, dout_ref,
+                dxl_ref, dxr_ref, dadjt_ref, dwe_ref, datt_ref,
+                dadj_scr, *, ns: float):
+    """One (b, tc) program; single re-walk of the [Tc,S,HF] domain.
+    dxl/dwe/datt revisit one block per b, accumulating over tc."""
+    xl = xl_ref[0].astype(jnp.float32)             # [S, HF]
+    xr = xr_ref[0].astype(jnp.float32)             # [Tc, HF]
+    adjt = adjt_ref[0].astype(jnp.float32)         # [Tc, S]
+    mf = (maskt_ref[0].astype(jnp.float32) != 0
+          ).astype(jnp.float32)[:, :, None]         # [Tc, S, 1] (see fwd)
+    we = we_ref[...].astype(jnp.float32)           # [1, HF]
+    att = att_ref[...].astype(jnp.float32)         # [1, HF]
+    Et = a_ref[...].astype(jnp.float32)            # [HF, H] (indicator)
+    E = e_ref[...].astype(jnp.float32)             # [H, HF]
+    alpha3 = alpha_ref[0].astype(jnp.float32)      # [Tc, S, H]
+    dout = dout_ref[0].astype(jnp.float32)         # [Tc, HF]
+    Tc, S = adjt.shape
+    HF = xl.shape[-1]
+    H = E.shape[0]
 
-def _bwd_kernel(xl_ref, xr_ref, adj_ref, mask_ref, we_ref, att_ref,
-                alpha_ref, dout_ref,
-                dxl_ref, dxr_ref, dadj_ref, dwe_ref, datt_ref, *, ns: float):
-    """One (b, h) program; single re-walk of the [S,T,F] domain."""
-    xl = xl_ref[0, 0].astype(jnp.float32)           # [S, F]
-    xr = xr_ref[0, 0].astype(jnp.float32)           # [T, F]
-    adj = adj_ref[0].astype(jnp.float32)            # [S, T]
-    mask = mask_ref[0] != 0                         # [S, T] (passed as 0/1)
-    we = we_ref[0].astype(jnp.float32)              # [1, F] (2-D: see fwd)
-    att = att_ref[0].astype(jnp.float32)            # [1, F]
-    alpha = alpha_ref[0, 0].astype(jnp.float32)     # [S, T]
-    dout = dout_ref[0, 0].astype(jnp.float32)       # [T, F]
+    # d_alpha[t,s,h] = sum_f xl[s,hf] dout[t,hf]  (MXU head-reduce)
+    P = dout[:, None, :] * xl[None, :, :]          # [Tc, S, HF]
+    d_alpha3 = jax.lax.dot_general(P.reshape(Tc * S, HF), Et,
+                                   (((1,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32
+                                   ).reshape(Tc, S, H)
+    # masked-softmax backward (denom-0 columns have alpha == 0)
+    s_col = jnp.sum(alpha3 * d_alpha3, axis=1, keepdims=True)
+    d_e3 = alpha3 * (d_alpha3 - s_col) * mf        # [Tc, S, H]
 
-    # aggregation backward: out[t] = sum_s alpha[s,t] xl[s]
-    # d_alpha[s,t] = xl[s] . dout[t];  d_xl(agg)[s] = sum_t alpha[s,t] dout[t]
-    d_alpha = jax.lax.dot_general(xl, dout, (((1,), (1,)), ((), ())),
-                                  preferred_element_type=jnp.float32)  # [S,T]
-    d_xl = jax.lax.dot_general(alpha, dout, (((1,), (0,)), ((), ())),
-                               preferred_element_type=jnp.float32)     # [S,F]
-
-    # masked-softmax backward (columns with denom 0 have alpha == 0, so
-    # d_e is identically 0 there — no special-casing needed)
-    s_col = jnp.sum(alpha * d_alpha, axis=0, keepdims=True)            # [1,T]
-    d_e = alpha * (d_alpha - s_col)                                    # [S,T]
-    d_e = jnp.where(mask, d_e, 0.0)
-
-    # logits backward in one domain walk (all reductions stay >= 2-D)
-    pre = (xl[:, None, :] + xr[None, :, :]
-           + adj[:, :, None] * we[None, :, :])                         # [S,T,F]
+    # expand d_e back to HF lanes; recompute pre once
+    d_e_exp = jax.lax.dot_general(d_e3.reshape(Tc * S, H), E,
+                                  (((1,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.float32
+                                  ).reshape(Tc, S, HF)
+    pre = (xr[:, None, :] + xl[None, :, :]
+           + adjt[:, :, None] * we[None, :, :])
     slope = jnp.where(pre >= 0, 1.0, ns)
-    dpre = d_e[:, :, None] * att[None, :, :] * slope                   # [S,T,F]
     act = jnp.where(pre >= 0, pre, ns * pre)
+    dpre = d_e_exp * att[None, :, :] * slope       # [Tc, S, HF]
 
-    d_xl = d_xl + jnp.sum(dpre, axis=1)                                # [S,F]
-    dxr = jnp.sum(dpre, axis=0)                                        # [T,F]
-    dadj = jnp.sum(dpre * we[None, :, :], axis=-1)                     # [S,T]
-    dwe = jnp.sum(jnp.sum(dpre * adj[:, :, None], axis=0),
-                  axis=0, keepdims=True)                               # [1,F]
-    datt = jnp.sum(jnp.sum(act * jnp.where(mask, d_e, 0.0)[:, :, None],
-                           axis=0), axis=0, keepdims=True)             # [1,F]
+    alpha_exp = jax.lax.dot_general(alpha3.reshape(Tc * S, H), E,
+                                    (((1,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32
+                                    ).reshape(Tc, S, HF)
+    d_xl_c = (jnp.sum(dpre, axis=0)
+              + jnp.sum(alpha_exp * dout[:, None, :], axis=0))  # [S,HF]
+    dxr_c = jnp.sum(dpre, axis=1)                  # [Tc, HF]
+    # d_adj: HF -> 1 lane reduction, staged through VMEM scratch (the
+    # direct 3-D lane-reduce -> store pattern trips this toolchain's
+    # Mosaic remote-compile; see module docstring)
+    dadj_scr[...] = jnp.sum(dpre * we[None, :, :], axis=-1)     # [Tc,S]
+    dadjt_ref[0] = dadj_scr[...].astype(dadjt_ref.dtype)
+    dwe_c = jnp.sum(jnp.sum(dpre * adjt[:, :, None], axis=0),
+                    axis=0, keepdims=True)                      # [1,HF]
+    datt_c = jnp.sum(jnp.sum(act * d_e_exp, axis=0),
+                     axis=0, keepdims=True)                     # [1,HF]
 
-    dxl_ref[0, 0] = d_xl.astype(dxl_ref.dtype)
-    dxr_ref[0, 0] = dxr.astype(dxr_ref.dtype)
-    dadj_ref[0, 0] = dadj.astype(dadj_ref.dtype)
-    dwe_ref[0, 0] = dwe.astype(dwe_ref.dtype)
-    datt_ref[0, 0] = datt.astype(datt_ref.dtype)
+    tc = pl.program_id(1)
+
+    @pl.when(tc == 0)
+    def _init():
+        dxl_ref[0] = d_xl_c.astype(dxl_ref.dtype)
+        dwe_ref[0] = dwe_c.astype(dwe_ref.dtype)
+        datt_ref[0] = datt_c.astype(datt_ref.dtype)
+
+    @pl.when(tc != 0)
+    def _acc():
+        dxl_ref[0] = (dxl_ref[0].astype(jnp.float32)
+                      + d_xl_c).astype(dxl_ref.dtype)
+        dwe_ref[0] = (dwe_ref[0].astype(jnp.float32)
+                      + dwe_c).astype(dwe_ref.dtype)
+        datt_ref[0] = (datt_ref[0].astype(jnp.float32)
+                       + datt_c).astype(datt_ref.dtype)
+
+    dxr_ref[0] = dxr_c.astype(dxr_ref.dtype)
 
 
-def _specs_bh(S, T, F):
-    """Input BlockSpecs shared by both kernels for xl/xr/adj/mask/we/att
-    with grid (B, H). xl/xr arrive as [B,H,S|T,F]; we/att as [H,1,F]."""
-    return [
-        pl.BlockSpec((1, 1, S, F), lambda b, h: (b, h, 0, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, T, F), lambda b, h: (b, h, 0, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, S, T), lambda b, h: (b, 0, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, S, T), lambda b, h: (b, 0, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, F), lambda b, h: (h, 0, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, F), lambda b, h: (h, 0, 0),
-                     memory_space=pltpu.VMEM),
-    ]
+def _head_mats(we, att):
+    """A [HF,H] = att folded into the head indicator; E [H,HF] = the
+    0/1 indicator itself (built host-side so the kernels never
+    transpose)."""
+    H, F = att.shape
+    eye = jnp.eye(H, dtype=jnp.float32)
+    E = jnp.repeat(eye, F, axis=1)                     # [H, HF]
+    A = E.T * att.astype(jnp.float32).reshape(-1, 1)   # [HF, H]
+    return A, E
+
+
+def _pad_t(x, Tp, axis):
+    pad = [(0, 0)] * x.ndim
+    pad[axis] = (0, Tp - x.shape[axis])
+    return jnp.pad(x, pad) if Tp != x.shape[axis] else x
+
+
+def _pad8(n: int) -> int:
+    """Sources padded to a multiple of 8 sublanes: an odd S (65) at the
+    full HF lane width hangs this toolchain's Mosaic remote-compile
+    (bisected 2026-08-21: F=100,S=65 hangs; F=100,S=72 compiles in
+    seconds). Padded source rows carry mask 0, so they contribute
+    nothing to softmax, output, or any gradient."""
+    return -(-n // 8) * 8
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
@@ -166,35 +228,63 @@ def flash_gat(xl: Array, xr: Array, adj: Array, mask: Array,
     return out
 
 
+def _in_specs(S, Tc, HF, H):
+    return [
+        pl.BlockSpec((1, S, HF), lambda b, t: (b, 0, 0),
+                     memory_space=pltpu.VMEM),           # xl
+        pl.BlockSpec((1, Tc, HF), lambda b, t: (b, t, 0),
+                     memory_space=pltpu.VMEM),           # xr
+        pl.BlockSpec((1, Tc, S), lambda b, t: (b, t, 0),
+                     memory_space=pltpu.VMEM),           # adjT
+        pl.BlockSpec((1, Tc, S), lambda b, t: (b, t, 0),
+                     memory_space=pltpu.VMEM),           # maskT
+        pl.BlockSpec((1, HF), lambda b, t: (0, 0),
+                     memory_space=pltpu.VMEM),           # we
+        pl.BlockSpec((1, HF), lambda b, t: (0, 0),
+                     memory_space=pltpu.VMEM),           # att
+        pl.BlockSpec((HF, H), lambda b, t: (0, 0),
+                     memory_space=pltpu.VMEM),           # A / Et
+        pl.BlockSpec((H, HF), lambda b, t: (0, 0),
+                     memory_space=pltpu.VMEM),           # E
+    ]
+
+
 def _flash_fwd_raw(xl, xr, adj, mask, we, att, ns, interpret):
     B, S, H, F = xl.shape
     T = xr.shape[1]
+    HF = H * F
     dt = xl.dtype
-    mask = mask.astype(dt)                          # bool unsupported in VMEM
-    xl_t = xl.transpose(0, 2, 1, 3)                 # [B,H,S,F]
-    xr_t = xr.transpose(0, 2, 1, 3)                 # [B,H,T,F]
+    Tc = min(_tc(T), T)
+    NT = -(-T // Tc)
+    Tp = NT * Tc
+    Sp = _pad8(S)
+    xl2 = _pad_t(xl.reshape(B, S, HF), Sp, 1)
+    xr2 = _pad_t(xr.reshape(B, T, HF), Tp, 1)
+    adjt = _pad_t(_pad_t(adj.transpose(0, 2, 1), Tp, 1), Sp, 2)
+    maskt = _pad_t(_pad_t(mask.astype(dt).transpose(0, 2, 1), Tp, 1),
+                   Sp, 2)
+    A, E = _head_mats(we, att)
     out, alpha = pl.pallas_call(
         functools.partial(_fwd_kernel, ns=ns),
-        grid=(B, H),
-        in_specs=_specs_bh(S, T, F),
+        grid=(B, NT),
+        in_specs=_in_specs(Sp, Tc, HF, H),
         out_specs=[
-            pl.BlockSpec((1, 1, T, F), lambda b, h: (b, h, 0, 0),
+            pl.BlockSpec((1, Tc, HF), lambda b, t: (b, t, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, S, T), lambda b, h: (b, h, 0, 0),
+            pl.BlockSpec((1, Tc, Sp, H), lambda b, t: (b, t, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((B, H, T, F), dt),
+            jax.ShapeDtypeStruct((B, Tp, HF), dt),
             # alpha residual stays f32 regardless of compute dtype: the
-            # backward's softmax-VJP reads it, and a bf16 residual costs
-            # ~2 bf16-ulp extra gradient error vs the XLA path (measured
-            # on chip); f32 matches XLA to accumulation-order noise
-            jax.ShapeDtypeStruct((B, H, S, T), jnp.float32),
+            # backward's softmax-VJP reads it; a bf16 residual costs ~2
+            # bf16-ulp extra gradient error vs the XLA path (measured)
+            jax.ShapeDtypeStruct((B, Tp, Sp, H), jnp.float32),
         ],
-        scratch_shapes=[pltpu.VMEM((S, T), jnp.float32)],
         interpret=interpret,
-    )(xl_t, xr_t, adj, mask, we[:, None, :], att[:, None, :])
-    return out.transpose(0, 2, 1, 3), alpha
+    )(xl2, xr2, adjt, maskt, we.reshape(1, HF), att.reshape(1, HF),
+      A, E)
+    return out[:, :T].reshape(B, T, H, F), alpha
 
 
 def _flash_vjp_fwd(xl, xr, adj, mask, we, att, ns, interpret):
@@ -206,48 +296,61 @@ def _flash_vjp_bwd(ns, interpret, res, dout):
     xl, xr, adj, mask, we, att, alpha = res
     B, S, H, F = xl.shape
     T = xr.shape[1]
+    HF = H * F
     dt = xl.dtype
-    mask = mask.astype(dt)
-    xl_t = xl.transpose(0, 2, 1, 3)
-    xr_t = xr.transpose(0, 2, 1, 3)
-    dout_t = dout.transpose(0, 2, 1, 3)             # [B,H,T,F]
-    specs = _specs_bh(S, T, F) + [
-        pl.BlockSpec((1, 1, S, T), lambda b, h: (b, h, 0, 0),
-                     memory_space=pltpu.VMEM),       # alpha
-        pl.BlockSpec((1, 1, T, F), lambda b, h: (b, h, 0, 0),
-                     memory_space=pltpu.VMEM),       # dout
+    Tc = min(_tc(T), T)
+    NT = -(-T // Tc)
+    Tp = NT * Tc
+    Sp = _pad8(S)
+    xl2 = _pad_t(xl.reshape(B, S, HF), Sp, 1)
+    xr2 = _pad_t(xr.reshape(B, T, HF), Tp, 1)
+    adjt = _pad_t(_pad_t(adj.transpose(0, 2, 1), Tp, 1), Sp, 2)
+    maskt = _pad_t(_pad_t(mask.astype(dt).transpose(0, 2, 1), Tp, 1),
+                   Sp, 2)
+    dout2 = _pad_t(dout.reshape(B, T, HF), Tp, 1)
+    A, E = _head_mats(we, att)
+    Et = E.T   # pure 0/1 indicator for the d_alpha head-reduce
+    specs = _in_specs(Sp, Tc, HF, H) + [
+        pl.BlockSpec((1, Tc, Sp, H), lambda b, t: (b, t, 0, 0),
+                     memory_space=pltpu.VMEM),           # alpha
+        pl.BlockSpec((1, Tc, HF), lambda b, t: (b, t, 0),
+                     memory_space=pltpu.VMEM),           # dout
     ]
-    dxl, dxr, dadj_h, dwe_b, datt_b = pl.pallas_call(
+    dxl, dxr, dadjt, dwe_b, datt_b = pl.pallas_call(
         functools.partial(_bwd_kernel, ns=ns),
-        grid=(B, H),
+        grid=(B, NT),
         in_specs=specs,
         out_specs=[
-            pl.BlockSpec((1, 1, S, F), lambda b, h: (b, h, 0, 0),
+            pl.BlockSpec((1, Sp, HF), lambda b, t: (b, 0, 0),
+                         memory_space=pltpu.VMEM),   # dxl (acc over t)
+            pl.BlockSpec((1, Tc, HF), lambda b, t: (b, t, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, T, F), lambda b, h: (b, h, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, S, T), lambda b, h: (b, h, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 1, F), lambda b, h: (b, h, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 1, F), lambda b, h: (b, h, 0, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Tc, Sp), lambda b, t: (b, t, 0),
+                         memory_space=pltpu.VMEM),   # dadjT
+            pl.BlockSpec((1, 1, HF), lambda b, t: (b, 0, 0),
+                         memory_space=pltpu.VMEM),   # dwe (acc over t)
+            pl.BlockSpec((1, 1, HF), lambda b, t: (b, 0, 0),
+                         memory_space=pltpu.VMEM),   # datt (acc over t)
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((B, H, S, F), dt),
-            jax.ShapeDtypeStruct((B, H, T, F), dt),
-            jax.ShapeDtypeStruct((B, H, S, T), jnp.float32),
-            jax.ShapeDtypeStruct((B, H, 1, F), jnp.float32),
-            jax.ShapeDtypeStruct((B, H, 1, F), jnp.float32),
+            # dxl accumulates across target chunks: keep the running
+            # sum f32 (a bf16 read-modify-write per chunk compounds
+            # rounding ~NT-fold); cast once host-side
+            jax.ShapeDtypeStruct((B, Sp, HF), jnp.float32),
+            jax.ShapeDtypeStruct((B, Tp, HF), dt),
+            jax.ShapeDtypeStruct((B, Tp, Sp), jnp.float32),
+            jax.ShapeDtypeStruct((B, 1, HF), jnp.float32),
+            jax.ShapeDtypeStruct((B, 1, HF), jnp.float32),
         ],
+        scratch_shapes=[pltpu.VMEM((Tc, Sp), jnp.float32)],
         interpret=interpret,
-    )(xl_t, xr_t, adj, mask, we[:, None, :], att[:, None, :],
-      alpha, dout_t)
-    dxl = dxl.transpose(0, 2, 1, 3)                 # [B,S,H,F]
-    dxr = dxr.transpose(0, 2, 1, 3)
-    dadj = jnp.sum(dadj_h, axis=1).astype(adj.dtype)      # [B,S,T]
-    dwe = jnp.sum(dwe_b[:, :, 0, :], axis=0).astype(we.dtype)   # [H,F]
-    datt = jnp.sum(datt_b[:, :, 0, :], axis=0).astype(att.dtype)
+    )(xl2, xr2, adjt, maskt, we.reshape(1, HF), att.reshape(1, HF),
+      Et, E, alpha, dout2)
+    dxl = dxl[:, :S].reshape(B, S, H, F).astype(dt)
+    dxr = dxr[:, :T].reshape(B, T, H, F)
+    dadj = dadjt[:, :T, :S].transpose(0, 2, 1).astype(adj.dtype)
+    dwe = jnp.sum(dwe_b[:, 0, :], axis=0).reshape(H, F).astype(we.dtype)
+    datt = jnp.sum(datt_b[:, 0, :], axis=0).reshape(H, F).astype(att.dtype)
     return dxl, dxr, dadj, None, dwe, datt
 
 

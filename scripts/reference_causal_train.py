@@ -108,10 +108,16 @@ def main():
     ap.add_argument("--seed", type=int, default=1265)
     ap.add_argument("--img", type=int, default=16)
     ap.add_argument("--factor-sizes", default="5,5,3,4")
+    ap.add_argument("--split-cuts", default="0.7,0.85",
+                    help="train/valid/test grid boundaries; the round-4 "
+                         "comparison uses 6,6,4,5 + 0.55,0.85 for a "
+                         "1,178-sample causal val split (CI half-width "
+                         "<=0.03)")
     ap.add_argument("--out", default="")
     ap.add_argument("--progress", default="")
     args = ap.parse_args()
 
+    split_cuts = tuple(float(v) for v in args.split_cuts.split(","))
     factor_sizes = tuple(int(v) for v in args.factor_sizes.split(","))
     action_dim = 2 * len(factor_sizes)
     # synthetic_ct.yaml model shapes (action_dim tracks the factor count)
@@ -124,7 +130,7 @@ def main():
                       train_batch_size=args.batch,
                       val_batch_size=args.batch, patch_size=args.img,
                       distributed=False, seed=args.seed,
-                      factor_sizes=factor_sizes)
+                      factor_sizes=factor_sizes, split_cuts=split_cuts)
     data.setup()
 
     torch.manual_seed(args.seed)
@@ -167,6 +173,8 @@ def main():
         "epochs": args.epochs, "batch": args.batch, "lr": args.lr,
         "scheduler_gamma": args.scheduler_gamma,
         "factor_sizes": list(factor_sizes),
+        "split_cuts": list(split_cuts),
+        "seed": args.seed,
         "chance_acc": 1.0 / action_dim,
         "chance_nodir_acc": 2.0 / action_dim,
         "final_causal_acc": traj[-1]["causal_acc"],

@@ -133,6 +133,74 @@ def test_disent_generator_and_loader_roundtrip(tmp_path, monkeypatch):
     assert len(modes["action"]) == len(t.transitions)
 
 
+def test_shapes3d_standin_generator(tmp_path):
+    """scripts/make_shapes3d_standin.py emits the canonical 3dshapes.h5
+    layout at any scale; the production `.h5` loader reads it (format
+    certified tiny here, at full 480k scale by bench.py's
+    e2e_shapes3d_* fields)."""
+    import sys
+
+    import numpy as np
+
+    sys.path.insert(0, os.path.join(REPO, "scripts"))
+    from make_shapes3d_standin import ensure_shapes3d_standin
+
+    from ctvae_tpu.data.disent_data import load_shapes3d
+
+    root = str(tmp_path)
+    sizes = (3, 2, 2, 2, 2, 3)
+    p = ensure_shapes3d_standin(root, factor_sizes=sizes, verbose=False)
+    assert p.endswith("3dshapes.h5")
+    ensure_shapes3d_standin(root, factor_sizes=sizes, verbose=False)  # idempotent
+
+    ds = load_shapes3d(root, split="all",
+                       transform=lambda im: im.astype(np.float32) / 255.0)
+    assert len(ds) == int(np.prod(sizes))
+    # labels carry real factor VALUES; the loader's unique/searchsorted
+    # conversion must recover exact grid indices
+    grid = np.indices(sizes).reshape(len(sizes), -1).T
+    assert np.array_equal(ds.factors_all, grid)
+    img, fac = ds[5]
+    assert img.shape == (64, 64, 3) and img.dtype == np.float32
+    assert 0.0 <= float(img.min()) and float(img.max()) <= 1.0
+    # different object hues render differently
+    a = ds[0][0]
+    b = ds[int(np.prod(sizes[3:]) * 1)][0]   # bump floor hue index
+    assert float(np.abs(a - b).max()) > 0.05
+
+
+def test_cars3d_standin_generator(tmp_path):
+    """scripts/make_cars3d_standin.py emits the nips2015-analogy cars
+    .mat layout; the production `.mat` loader reads it."""
+    import sys
+
+    import numpy as np
+
+    sys.path.insert(0, os.path.join(REPO, "scripts"))
+    from make_cars3d_standin import ensure_cars3d_standin
+
+    from ctvae_tpu.data import disent_data
+
+    root = str(tmp_path)
+    ensure_cars3d_standin(root, n_cars=4, verbose=False)
+    ensure_cars3d_standin(root, n_cars=4, verbose=False)   # idempotent
+
+    # loader builds the full [4*24*elev] grid; patch FACTOR_SIZES to the
+    # shrunk car count so the index grid matches
+    orig = disent_data.FACTOR_SIZES["cars3d"]
+    disent_data.FACTOR_SIZES["cars3d"] = (4, 24, 4)
+    try:
+        ds = disent_data.load_cars3d(
+            root, split="all",
+            transform=lambda im: im.astype(np.float32) / 255.0)
+        assert len(ds) == 4 * 24 * 4
+        img, fac = ds[7]
+        assert img.shape == (128, 128, 3) and img.dtype == np.float32
+        assert 0.0 <= float(img.min()) and float(img.max()) <= 1.0
+    finally:
+        disent_data.FACTOR_SIZES["cars3d"] = orig
+
+
 def test_celeba_standin_generator(tmp_path):
     """scripts/make_celeba_standin.py emits the torchvision CelebA
     layout at any scale: partition file + real JPEGs the production

@@ -50,6 +50,32 @@ def test_flash_gat_matches_layer_values_and_grads(monkeypatch):
                                    rtol=2e-4, atol=2e-5)
 
 
+def test_flash_gat_multichunk_padded_grads(monkeypatch):
+    """T=37 > the 16-column chunk (multi-chunk accumulation path) with
+    odd S=T=37 (the sublane-padding path) — exactly the CT causal
+    shapes' structure. Gradients must match the XLA path."""
+    layer, variables, x, adj = _layer_and_inputs(heads=3, out_features=6,
+                                                 fin=5, B=2, T=37, seed=3)
+
+    def loss(params, x, adj):
+        return jnp.sum(jnp.sin(layer.apply({"params": params}, x, adj)))
+
+    monkeypatch.setenv("CTVAE_FLASH_GAT", "0")
+    out_xla = layer.apply({"params": variables["params"]}, x, adj)
+    g_xla = jax.grad(loss, argnums=(0, 1, 2))(variables["params"], x, adj)
+    monkeypatch.setenv("CTVAE_FLASH_GAT", "1")
+    monkeypatch.setenv("CTVAE_FLASH_TC", "16")
+    out_fl = layer.apply({"params": variables["params"]}, x, adj)
+    g_fl = jax.grad(loss, argnums=(0, 1, 2))(variables["params"], x, adj)
+
+    np.testing.assert_allclose(np.asarray(out_xla), np.asarray(out_fl),
+                               rtol=2e-5, atol=2e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(g_xla),
+                    jax.tree_util.tree_leaves(g_fl)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-5)
+
+
 def test_flash_gat_raw_op_edge_cases():
     """Direct op: all-zero adjacency (every target edgeless after the
     wrapper masks) and a fully-dense one."""
