@@ -268,9 +268,15 @@ def measure_torch_reference_cpu(steps=4, batch=16):
         return None
 
 
-def bench_ct_step(mode, batch):
+def bench_ct_step(mode, batch, force_xla=False):
     """ms/step of the CT-MCQ-VAE train step at the headline config
-    (configs/ct_mcq_vae.yaml shapes) — bounded-queue methodology."""
+    (configs/ct_mcq_vae.yaml shapes) — bounded-queue methodology.
+    ``force_xla`` pins the XLA attention path (the flash-kernel A/B the
+    round-3 VERDICT asked to see recorded in the bench artifact)."""
+    if force_xla:
+        from ctvae_tpu.ops.gat import force_xla_scope
+        with force_xla_scope():
+            return bench_ct_step(mode, batch)
     model = vae_models["CTMCQVAE"](
         in_channels=3, embedding_dim=128, action_dim=12,
         hidden_dims=(64, 128, 256), num_embeddings=64, img_size=IMG,
@@ -677,6 +683,17 @@ def main():
     if ct.get("ct_action_ms_per_step"):
         ct["ct_action_img_per_sec"] = round(
             128 * 1e3 / ct["ct_action_ms_per_step"], 0)
+    # flash-vs-XLA A/B on the causal step, recorded in the artifact
+    # (round-3 VERDICT item 2): same step, attention pinned to the XLA
+    # formulation via force_xla_scope.
+    try:
+        ms_xla, _ = bench_ct_step("causal", 16, force_xla=True)
+        ct["ct_causal_ms_per_step_xla"] = round(ms_xla, 2)
+        if ct.get("ct_causal_ms_per_step"):
+            ct["ct_causal_flash_speedup"] = round(
+                ms_xla / ct["ct_causal_ms_per_step"], 3)
+    except Exception as e:
+        print(f"warning: causal XLA A/B failed: {e!r}", file=sys.stderr)
 
     try:
         infer_ips = round(bench_inference_vanilla(), 0)
