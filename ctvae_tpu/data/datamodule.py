@@ -4,6 +4,12 @@ torch DataLoader stack (/root/reference/dataset.py:14-166).
 
 Registry names match the reference exactly (dataset.py:14-27), plus a
 ``Synthetic``/``TSynthetic`` pair used by tests and benches.
+
+Batch dtype contract (enforced in data/prefetch.py): the ONLY keys a
+loader may emit as uint8 are the [0,255] image payloads ``image`` and
+``input_y`` (they ride the ``device_normalize`` fast path and get the
+/255 on device). Every other key must carry its semantic dtype at the
+dataset boundary — float32 actions, int64 labels — or prefetch raises.
 """
 
 from __future__ import annotations

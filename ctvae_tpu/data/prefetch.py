@@ -27,6 +27,12 @@ from ..parallel.mesh import shard_batch
 _SENTINEL = object()
 _u8_to_unit = None
 
+# The only keys allowed to arrive as uint8: [0,255] image payloads under
+# ``data_params.device_normalize``. Every other key must already carry
+# its semantic dtype (float32 actions, int64 labels, ...) — see the
+# enforcement below and the dataset contract in data/datamodule.py.
+_U8_IMAGE_KEYS = frozenset({"image", "input_y"})
+
 
 def _normalize_u8(arr):
     """uint8 device array -> float32 in [0, 1], ON DEVICE — the receiving
@@ -74,9 +80,21 @@ def prefetch_to_device(batches: Iterator[dict], mesh, depth: int = 2,
         # One shared rule with experiment.py's setup/sample/repr paths:
         # EVERY uint8 array is a [0,255] image payload and gets the
         # on-device /255 (a future uint8 key can never silently reach
-        # the jitted train step raw).
+        # the jitted train step raw). That contract is enforced, not
+        # assumed: a uint8 array under a non-image key is a loader bug
+        # (e.g. packed class labels that would be silently rescaled to
+        # [0,1] floats), so it fails loudly here instead.
         for k, v in on_device.items():
             if getattr(v, "dtype", None) == np.uint8:
+                if k not in _U8_IMAGE_KEYS:
+                    raise TypeError(
+                        f"batch key '{k}' is uint8 but only "
+                        f"{sorted(_U8_IMAGE_KEYS)} may ship as uint8 "
+                        f"image payloads (data_params.device_normalize "
+                        f"contract). Convert '{k}' to its semantic dtype "
+                        f"(e.g. int32 labels, float32 actions) in the "
+                        f"dataset, or add it to prefetch._U8_IMAGE_KEYS "
+                        f"if it really is a [0,255] image.")
                 on_device[k] = _normalize_u8(v)
         on_device.update({k: v for k, v in item.items()
                           if isinstance(v, str)})

@@ -25,6 +25,14 @@ Full-scale run (matches PARITY.md's ctvae_tpu recipe — synthetic_ct.yaml
 shapes, batch 16, LR 5e-4, scheduler_gamma 1.0, 60 epochs):
     python scripts/reference_causal_train.py --epochs 60 --out ref.json
 Smoke scale (CI): --epochs N --factor-sizes 3,3,2 --batch 8
+
+Round-5 adds the reference's documented TWO-STAGE recipe
+(--pretrain-epochs N > 0): pretrain the reference MCQVAE on the same
+image stream, torch.save -> load_state_dict(strict=False) into
+CTMCQVAE (run.py:85-89's weights-only restore), then Adam over
+model.ct_layer.parameters() ONLY (experiment.py:157's
+update_parameters: "ct_layer", configs/ct_mcq_vae.yaml:37-38).
+--pretrain-epochs 0 (default) keeps the joint recipe.
 """
 
 import argparse
@@ -46,6 +54,55 @@ sys.path.insert(0, "/root/reference")
 sys.path.append(REPO)
 
 import torch  # noqa: E402
+
+
+def build_reference_mcq(mp):
+    """The reference MCQVAE backbone with the SAME shapes as the
+    CTMCQVAE it will seed (/root/reference/models/mcq_vae.py:142-166):
+    module names encoder/vq_layer/decoder match, so strict=False
+    state_dict transfer is exactly the reference's weights-only load."""
+    import importlib
+    ref_mod = importlib.import_module("models.mcq_vae")
+    return ref_mod.MCQVAE(
+        in_channels=int(mp["in_channels"]),
+        embedding_dim=int(mp["embedding_dim"]),
+        num_embeddings=int(mp["num_embeddings"]),
+        hidden_dims=list(mp["hidden_dims"]),
+        img_size=int(mp["img_size"]),
+        codebooks=int(mp["codebooks"]))
+
+
+def pretrain_mcq(mp, data, args):
+    """Stage 1: reconstruction-only pretraining of the MCQ backbone on
+    the identical TSynthetic image stream; returns a state_dict path
+    (the disk round trip is part of the recipe being certified)."""
+    mcq = build_reference_mcq(mp)
+    opt = torch.optim.Adam(mcq.parameters(), lr=args.lr,
+                           weight_decay=0.0)
+    sched = torch.optim.lr_scheduler.ExponentialLR(
+        opt, gamma=args.scheduler_gamma)
+    pre_traj = []
+    mcq.train()
+    for epoch in range(args.pretrain_epochs):
+        te, last = time.time(), float("nan")
+        for batch in data.train_dataloader(epoch):
+            out = mcq.forward(_nchw(batch["image"]))
+            losses = mcq.loss_function(*out, M_N=args.kld_weight)
+            opt.zero_grad()
+            losses["loss"].backward()
+            opt.step()
+            last = float(losses["Reconstruction_Loss"].detach())
+        sched.step()
+        rec = {"pretrain_epoch": epoch, "recon_loss": round(last, 6),
+               "epoch_sec": round(time.time() - te, 1)}
+        pre_traj.append(rec)
+        print(json.dumps(rec), flush=True)
+        if args.progress:
+            with open(args.progress, "a") as f:
+                f.write(json.dumps(rec) + "\n")
+    ckpt = args.out + ".mcq.pt" if args.out else "mcq_pretrain.pt"
+    torch.save(mcq.state_dict(), ckpt)
+    return ckpt, pre_traj
 
 
 def build_reference_model(mp):
@@ -110,9 +167,14 @@ def main():
     ap.add_argument("--factor-sizes", default="5,5,3,4")
     ap.add_argument("--split-cuts", default="0.7,0.85",
                     help="train/valid/test grid boundaries; the round-4 "
-                         "comparison uses 6,6,4,5 + 0.55,0.85 for a "
-                         "1,178-sample causal val split (CI half-width "
-                         "<=0.03)")
+                         "comparison uses 6,6,4,5 + 0.6,0.72 for 1,104 "
+                         "evaluated causal val samples (CI half-width "
+                         "<=0.03; see assets/causal_r4/)")
+    ap.add_argument("--pretrain-epochs", type=int, default=0,
+                    help="> 0: two-stage recipe — pretrain MCQVAE for N "
+                         "epochs, weights-only restore into CTMCQVAE, "
+                         "then train ct_layer ONLY (reference "
+                         "run.py:85-89 + ct_mcq_vae.yaml:37-38)")
     ap.add_argument("--out", default="")
     ap.add_argument("--progress", default="")
     args = ap.parse_args()
@@ -135,9 +197,23 @@ def main():
 
     torch.manual_seed(args.seed)
     np.random.seed(args.seed)
+    pre_traj = []
+    if args.pretrain_epochs > 0:
+        ckpt, pre_traj = pretrain_mcq(mp, data, args)
     model = build_reference_model(mp)
-    opt = torch.optim.Adam(model.parameters(), lr=args.lr,
-                           weight_decay=0.0)
+    if args.pretrain_epochs > 0:
+        # weights-only restore (reference run.py:85-89: strict=False;
+        # encoder/vq_layer/decoder transfer, ct_layer stays fresh) ...
+        res = model.load_state_dict(torch.load(ckpt), strict=False)
+        assert not res.unexpected_keys, res.unexpected_keys
+        assert all(k.startswith("ct_layer.") for k in res.missing_keys), \
+            res.missing_keys
+        # ... then update_parameters: "ct_layer" — the optimizer sees
+        # ONLY the CT layer (reference experiment.py:157)
+        trained = model.ct_layer.parameters()
+    else:
+        trained = model.parameters()
+    opt = torch.optim.Adam(trained, lr=args.lr, weight_decay=0.0)
     sched = torch.optim.lr_scheduler.ExponentialLR(
         opt, gamma=args.scheduler_gamma)
 
@@ -170,6 +246,9 @@ def main():
 
     result = {
         "framework": "torch-reference",
+        "recipe": ("two_stage" if args.pretrain_epochs > 0 else "joint"),
+        "pretrain_epochs": args.pretrain_epochs,
+        "pretrain_trajectory": pre_traj,
         "epochs": args.epochs, "batch": args.batch, "lr": args.lr,
         "scheduler_gamma": args.scheduler_gamma,
         "factor_sizes": list(factor_sizes),
