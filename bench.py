@@ -161,8 +161,15 @@ def _jaxpr_vpu_flops(jaxpr) -> float:
     tracked separately or not at all), so the VPU roofline term is
     derived from the jaxpr instead. Layout/movement primitives cost 0
     here — within fusions they are addressing, and materialized copies
-    are charged to the HBM term. Fusion does not reduce elementwise op
-    count, so this is a sound lower bound at VPU peak."""
+    are charged to the HBM term.
+
+    APPROXIMATE, not a strict bound: comparisons/selects/integer ops
+    are charged 1 flop like any compute primitive (the VPU retires
+    them, but not necessarily at f32-peak throughput), `cond` is
+    charged via its costliest branch, and `while` bodies are counted
+    once (trip counts are not static). Good enough to rank terms and
+    place the max(MXU,VPU,HBM) roofline; don't read pct_roofline or the
+    binding label to better than ~10-20% when the VPU term leads."""
     import math
     total = 0.0
     for eqn in jaxpr.eqns:

@@ -60,19 +60,77 @@ NEG = -1e30
 def _tc(T: int) -> int:
     """Target-chunk size: CTVAE_FLASH_TC overrides; default covers
     T<=32 in one program, else 16-row chunks (VMEM-bounded: the
-    [Tc,S,HF] f32 workspaces are ~5.4 MB at the CT shapes)."""
+    [Tc,S,HF] f32 workspaces are ~5.4 MB at the CT shapes).
+
+    Always a multiple of 8: Tc is the sublane extent of the [1,Tc,HF]
+    xr/dout blocks, and an 8-indivisible sublane extent at full HF lane
+    width is the exact shape class that hangs this toolchain's Mosaic
+    remote-compile (see _pad8). The env override is rounded up too, so
+    no setting can reintroduce the hazard. Targets are padded to
+    Tp = NT*Tc with mask-0 rows exactly like sources, so a Tc > T is
+    semantically free."""
     env = os.environ.get("CTVAE_FLASH_TC")
     if env:
-        return max(1, int(env))
-    return T if T <= 32 else 16
+        tc = max(1, int(env))
+    elif T <= 32:
+        tc = T
+    else:
+        # largest chunk <= 24 rows that minimizes padding: ~24 rows
+        # amortizes the per-chunk dxl/dwe/datt accumulator revisits
+        # (chip sweep 2026-08-21: Tc 24 -> 13.5 ms fwd+bwd vs 16 ->
+        # 15.3 at the causal shapes; 32+ blows VMEM), and dividing T's
+        # rounded-up chunk count keeps Tp tight (T=65 -> Tc 24, Tp 72)
+        tc = -(-T // -(-T // 24))
+    tc = -(-tc // 8) * 8
+    return min(tc, _pad8(T))
+
+
+def _cdt(dt) -> jnp.dtype:
+    """MXU input dtype for the in-kernel dots. Always f32: the
+    [.,HF]@[HF,H] head-reduce matmuls are operand-streaming-bound (13
+    of 128 output lanes live), so feeding them bf16 buys no MXU time
+    while the act/alpha ``astype`` casts cost an extra walk of the big
+    domain — measured +0.5 ms fwd+bwd at the causal shapes
+    (2026-08-21 chip A/B: bf16 dots 15.6 ms vs f32 15.1 ms). Full-bf16
+    elementwise is blocked outright by Mosaic ("unsupported shape
+    cast" on bf16 [Tc,1,HF] broadcasts). Kept as a hook so a future
+    toolchain can flip one line."""
+    del dt
+    return jnp.float32
+
+
+def _sub_mult(cdt) -> int:
+    """Sublane padding multiple. 8 for every dtype: the in-kernel
+    temporaries are f32 regardless of cdt (tile (8,128)), and bf16
+    INPUT blocks at 8-multiple sublane extents (S=72) are exactly what
+    every round-4 bf16 run shipped — measured safe on this toolchain.
+    (A 16-multiple was tried for bf16 and costs +11% domain at the CT
+    shapes, S 72 -> 80, for no compile-safety gain.)"""
+    del cdt
+    return 8
+
+
+def _round_up(n: int, k: int) -> int:
+    return -(-n // k) * k
 
 
 def _fwd_kernel(xl_ref, xr_ref, adjt_ref, maskt_ref, we_ref, att_ref,
-                a_ref, e_ref, out_ref, alpha_ref, *, ns: float):
+                a_ref, e_ref, out_ref, alpha_ref, *, ns: float,
+                cdt=jnp.float32):
     """One (b, tc) program. xl [1,S,HF], xr [1,Tc,HF], adjT/maskT
     [1,Tc,S], we/att [1,HF], A [HF,H], E [H,HF]; out [1,Tc,HF],
     alpha [1,Tc,S,H]. Domain [Tc,S,HF]: targets major, sources
-    sublanes, head*feature lanes."""
+    sublanes, head*feature lanes.
+
+    ``cdt`` is the MXU input dtype: it follows the array dtype (bf16
+    model -> bf16 matmul inputs at the full 197-TFLOP/s rate; f32
+    model -> f32, bit-compatible with the pre-round-5 kernel). All
+    elementwise work and every accumulator stay f32 — Mosaic's bf16
+    relayout support cannot express the [Tc,1,HF] broadcasts this
+    kernel needs (bisected 2026-08-21: "unsupported shape cast"
+    vector<1x16x36xbf16> -> 16x1x36), and the VPU is f32-native anyway;
+    the matmul accumulators are f32 via preferred_element_type, so the
+    logits enter the softmax at f32."""
     xl = xl_ref[0].astype(jnp.float32)             # [S, HF]
     xr = xr_ref[0].astype(jnp.float32)             # [Tc, HF]
     adjt = adjt_ref[0].astype(jnp.float32)         # [Tc, S]
@@ -83,8 +141,8 @@ def _fwd_kernel(xl_ref, xr_ref, adjt_ref, maskt_ref, we_ref, att_ref,
     mf = (maskt_ref[0].astype(jnp.float32) != 0
           ).astype(jnp.float32)[:, :, None]         # [Tc, S, 1]
     we = we_ref[...].astype(jnp.float32)           # [1, HF]
-    A = a_ref[...].astype(jnp.float32)             # [HF, H]
-    E = e_ref[...].astype(jnp.float32)             # [H, HF]
+    A = a_ref[...].astype(cdt)                     # [HF, H]
+    E = e_ref[...].astype(cdt)                     # [H, HF]
     Tc, S = adjt.shape
     HF = xl.shape[-1]
 
@@ -92,7 +150,7 @@ def _fwd_kernel(xl_ref, xr_ref, adjt_ref, maskt_ref, we_ref, att_ref,
            + adjt[:, :, None] * we[None, :, :])    # [Tc, S, HF]
     act = jnp.where(pre >= 0, pre, ns * pre)
     # per-head logit reduction on the MXU: [Tc*S, HF] @ [HF, H]
-    e3 = jax.lax.dot_general(act.reshape(Tc * S, HF), A,
+    e3 = jax.lax.dot_general(act.astype(cdt).reshape(Tc * S, HF), A,
                              (((1,), (0,)), ((), ())),
                              preferred_element_type=jnp.float32
                              ).reshape(Tc, S, H := A.shape[1])
@@ -104,8 +162,9 @@ def _fwd_kernel(xl_ref, xr_ref, adjt_ref, maskt_ref, we_ref, att_ref,
 
     # aggregation: expand alpha back to HF lanes via the indicator
     # matmul, then one multiply+reduce walk of the [Tc,S,HF] domain
-    alpha_exp = jax.lax.dot_general(alpha3.reshape(Tc * S, H), E,
-                                    (((1,), (0,)), ((), ())),
+    # (f32 sum accumulator regardless of cdt)
+    alpha_exp = jax.lax.dot_general(alpha3.astype(cdt).reshape(Tc * S, H),
+                                    E, (((1,), (0,)), ((), ())),
                                     preferred_element_type=jnp.float32
                                     ).reshape(Tc, S, HF)
     out = jnp.sum(alpha_exp * xl[None, :, :], axis=1)   # [Tc, HF]
@@ -116,9 +175,11 @@ def _fwd_kernel(xl_ref, xr_ref, adjt_ref, maskt_ref, we_ref, att_ref,
 def _bwd_kernel(xl_ref, xr_ref, adjt_ref, maskt_ref, we_ref, att_ref,
                 a_ref, e_ref, alpha_ref, dout_ref,
                 dxl_ref, dxr_ref, dadjt_ref, dwe_ref, datt_ref,
-                dadj_scr, *, ns: float):
+                dadj_scr, *, ns: float, cdt=jnp.float32):
     """One (b, tc) program; single re-walk of the [Tc,S,HF] domain.
-    dxl/dwe/datt revisit one block per b, accumulating over tc."""
+    dxl/dwe/datt revisit one block per b, accumulating over tc.
+    ``cdt`` as in _fwd_kernel: MXU dot inputs at the array dtype,
+    everything else f32."""
     xl = xl_ref[0].astype(jnp.float32)             # [S, HF]
     xr = xr_ref[0].astype(jnp.float32)             # [Tc, HF]
     adjt = adjt_ref[0].astype(jnp.float32)         # [Tc, S]
@@ -126,8 +187,8 @@ def _bwd_kernel(xl_ref, xr_ref, adjt_ref, maskt_ref, we_ref, att_ref,
           ).astype(jnp.float32)[:, :, None]         # [Tc, S, 1] (see fwd)
     we = we_ref[...].astype(jnp.float32)           # [1, HF]
     att = att_ref[...].astype(jnp.float32)         # [1, HF]
-    Et = a_ref[...].astype(jnp.float32)            # [HF, H] (indicator)
-    E = e_ref[...].astype(jnp.float32)             # [H, HF]
+    Et = a_ref[...].astype(cdt)                    # [HF, H] (indicator)
+    E = e_ref[...].astype(cdt)                     # [H, HF]
     alpha3 = alpha_ref[0].astype(jnp.float32)      # [Tc, S, H]
     dout = dout_ref[0].astype(jnp.float32)         # [Tc, HF]
     Tc, S = adjt.shape
@@ -136,16 +197,16 @@ def _bwd_kernel(xl_ref, xr_ref, adjt_ref, maskt_ref, we_ref, att_ref,
 
     # d_alpha[t,s,h] = sum_f xl[s,hf] dout[t,hf]  (MXU head-reduce)
     P = dout[:, None, :] * xl[None, :, :]          # [Tc, S, HF]
-    d_alpha3 = jax.lax.dot_general(P.reshape(Tc * S, HF), Et,
+    d_alpha3 = jax.lax.dot_general(P.astype(cdt).reshape(Tc * S, HF), Et,
                                    (((1,), (0,)), ((), ())),
                                    preferred_element_type=jnp.float32
                                    ).reshape(Tc, S, H)
-    # masked-softmax backward (denom-0 columns have alpha == 0)
+    # masked-softmax backward in f32 (denom-0 columns have alpha == 0)
     s_col = jnp.sum(alpha3 * d_alpha3, axis=1, keepdims=True)
     d_e3 = alpha3 * (d_alpha3 - s_col) * mf        # [Tc, S, H]
 
     # expand d_e back to HF lanes; recompute pre once
-    d_e_exp = jax.lax.dot_general(d_e3.reshape(Tc * S, H), E,
+    d_e_exp = jax.lax.dot_general(d_e3.astype(cdt).reshape(Tc * S, H), E,
                                   (((1,), (0,)), ((), ())),
                                   preferred_element_type=jnp.float32
                                   ).reshape(Tc, S, HF)
@@ -155,8 +216,8 @@ def _bwd_kernel(xl_ref, xr_ref, adjt_ref, maskt_ref, we_ref, att_ref,
     act = jnp.where(pre >= 0, pre, ns * pre)
     dpre = d_e_exp * att[None, :, :] * slope       # [Tc, S, HF]
 
-    alpha_exp = jax.lax.dot_general(alpha3.reshape(Tc * S, H), E,
-                                    (((1,), (0,)), ((), ())),
+    alpha_exp = jax.lax.dot_general(alpha3.astype(cdt).reshape(Tc * S, H),
+                                    E, (((1,), (0,)), ((), ())),
                                     preferred_element_type=jnp.float32
                                     ).reshape(Tc, S, HF)
     d_xl_c = (jnp.sum(dpre, axis=0)
@@ -254,10 +315,12 @@ def _flash_fwd_raw(xl, xr, adj, mask, we, att, ns, interpret):
     T = xr.shape[1]
     HF = H * F
     dt = xl.dtype
-    Tc = min(_tc(T), T)
+    cdt = _cdt(dt)
+    km = _sub_mult(cdt)
+    Tc = _round_up(_tc(T), km)
     NT = -(-T // Tc)
     Tp = NT * Tc
-    Sp = _pad8(S)
+    Sp = _round_up(S, km)
     xl2 = _pad_t(xl.reshape(B, S, HF), Sp, 1)
     xr2 = _pad_t(xr.reshape(B, T, HF), Tp, 1)
     adjt = _pad_t(_pad_t(adj.transpose(0, 2, 1), Tp, 1), Sp, 2)
@@ -265,7 +328,7 @@ def _flash_fwd_raw(xl, xr, adj, mask, we, att, ns, interpret):
                    Sp, 2)
     A, E = _head_mats(we, att)
     out, alpha = pl.pallas_call(
-        functools.partial(_fwd_kernel, ns=ns),
+        functools.partial(_fwd_kernel, ns=ns, cdt=cdt),
         grid=(B, NT),
         in_specs=_in_specs(Sp, Tc, HF, H),
         out_specs=[
@@ -298,10 +361,12 @@ def _flash_vjp_bwd(ns, interpret, res, dout):
     T = xr.shape[1]
     HF = H * F
     dt = xl.dtype
-    Tc = min(_tc(T), T)
+    cdt = _cdt(dt)
+    km = _sub_mult(cdt)
+    Tc = _round_up(_tc(T), km)
     NT = -(-T // Tc)
     Tp = NT * Tc
-    Sp = _pad8(S)
+    Sp = _round_up(S, km)
     xl2 = _pad_t(xl.reshape(B, S, HF), Sp, 1)
     xr2 = _pad_t(xr.reshape(B, T, HF), Tp, 1)
     adjt = _pad_t(_pad_t(adj.transpose(0, 2, 1), Tp, 1), Sp, 2)
@@ -317,7 +382,7 @@ def _flash_vjp_bwd(ns, interpret, res, dout):
                      memory_space=pltpu.VMEM),           # dout
     ]
     dxl, dxr, dadjt, dwe_b, datt_b = pl.pallas_call(
-        functools.partial(_bwd_kernel, ns=ns),
+        functools.partial(_bwd_kernel, ns=ns, cdt=cdt),
         grid=(B, NT),
         in_specs=specs,
         out_specs=[

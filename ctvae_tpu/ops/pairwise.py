@@ -98,6 +98,23 @@ def _onewalk_enabled() -> bool:
     return os.environ.get("CTVAE_PAIRWISE_ONEWALK", "1") != "0"
 
 
+def _use_flash_pairwise() -> bool:
+    """Route the fused path through the Pallas kernel
+    (ops/pairwise_flash.py): CTVAE_FLASH_PAIRWISE=1 forces it on any
+    backend (CPU runs the interpreter — tests); "auto" (default) uses
+    it on a TPU backend, where the single-walk schedule measures ~2.5x
+    faster than the XLA one-walk fusion at the CT shapes
+    (scripts/bench_pairwise.py, chip A/B 2026-08-21); 0 disables.
+    Respects ops/gat.py force_xla_scope (export portability)."""
+    from .gat import _in_force_xla_scope
+    if _in_force_xla_scope():
+        return False
+    v = os.environ.get("CTVAE_FLASH_PAIRWISE", "auto")
+    if v == "1":
+        return True
+    return v == "auto" and jax.default_backend() == "tpu"
+
+
 # Above this size the [B, S, S, H] pre-activation switches from the MXU
 # einsum (which materializes it in HBM — cheap when it fits: traffic
 # ~2x its bytes at 820 GB/s, contraction effectively free) to a fused
@@ -132,9 +149,26 @@ def pairwise_mlp_scores(x_left: Array, x_right: Array, w2: Array, b2: Array,
         fused = (B * S * S * H * x_left.dtype.itemsize
                  > _FUSED_PAIRWISE_BYTES)
     w2b = jnp.broadcast_to(w2, (B, H)) if w2.ndim <= 2 else w2
+
+    # The Pallas kernel beats BOTH XLA paths (it walks the domain once
+    # per direction and never materializes it — faster than the einsum
+    # even where the einsum fits in HBM: chip A/B 2026-08-21, fwd+bwd
+    # 3.1 ms vs einsum 7 / one-walk 5.7 at the causal shapes), so when
+    # available it takes precedence over the size-based fused/einsum
+    # switch. Not under sequence parallelism (the kernel grid owns the
+    # full source axis per program; SP splits the domain across chips
+    # on the XLA path instead); ``block_rows`` is honored by the
+    # caller's chunking below — the kernel is VMEM-bounded either way.
+    use_flash = seq_axis is None and _use_flash_pairwise()
     onewalk = fused and _onewalk_enabled()
 
     def rows(chunk):  # chunk: [B, C, H] of left rows
+        if use_flash:
+            from .pairwise_flash import flash_pairwise
+            return flash_pairwise(chunk, x_right, w2b,
+                                  jnp.asarray(b1), jnp.asarray(b2),
+                                  negative_slope,
+                                  jax.default_backend() != "tpu")
         if onewalk:
             # one-walk custom-VJP backward (see fused_pairwise_scores)
             return fused_pairwise_scores(chunk, x_right, w2b,
@@ -149,7 +183,7 @@ def pairwise_mlp_scores(x_left: Array, x_right: Array, w2: Array, b2: Array,
         return jax.nn.sigmoid(
             jnp.einsum("bcth,bh->bct", act, w2b) + b2[..., None, None])
 
-    if fused and not onewalk:
+    if fused and not onewalk and not use_flash:
         rows = jax.checkpoint(rows)
 
     if block_rows is None or block_rows >= S:
