@@ -276,7 +276,8 @@ def measure_torch_reference_cpu(steps=4, batch=16):
         return None
 
 
-def bench_ct_step(mode, batch, force_xla=False, force_flash=False):
+def bench_ct_step(mode, batch, force_xla=False, force_flash=False,
+                  scan_k=1):
     """ms/step of the CT-MCQ-VAE train step at the headline config
     (configs/ct_mcq_vae.yaml shapes) — bounded-queue methodology.
     ``force_xla`` pins the XLA attention path; ``force_flash`` pins the
@@ -286,13 +287,13 @@ def bench_ct_step(mode, batch, force_xla=False, force_flash=False):
     if force_xla:
         from ctvae_tpu.ops.gat import force_xla_scope
         with force_xla_scope():
-            return bench_ct_step(mode, batch)
+            return bench_ct_step(mode, batch, scan_k=scan_k)
     if force_flash:
         import os as _os
         prev = _os.environ.get("CTVAE_FLASH_GAT")
         _os.environ["CTVAE_FLASH_GAT"] = "1"
         try:
-            return bench_ct_step(mode, batch)
+            return bench_ct_step(mode, batch, scan_k=scan_k)
         finally:
             if prev is None:
                 _os.environ.pop("CTVAE_FLASH_GAT", None)
@@ -315,6 +316,40 @@ def bench_ct_step(mode, batch, force_xla=False, force_flash=False):
     txs = [optax.adam(5e-4)]
     state = create_train_state(model, rng, batch_d, txs,
                                fwd_kwargs_keys=("input_y", "action", "mode"))
+    if scan_k > 1:
+        # K steps per executable launch (training.make_multi_train_step):
+        # amortizes the per-launch tunnel dispatch floor the breakdown
+        # attributes (ct_<mode>_breakdown_ms.dispatch_idle_ms). ms is
+        # per REAL step; roofline info comes from the scan_k=1 call.
+        from ctvae_tpu.training import make_multi_train_step
+        mstep = jax.jit(
+            make_multi_train_step(model, txs, n_steps=scan_k, M_N=0.00025,
+                                  fwd_kwargs_keys=(("input_y", "action")
+                                                   if mode != "base"
+                                                   else ()),
+                                  static_fwd_kwargs={"mode": mode}),
+            donate_argnums=0)
+        batch_s = {k: jnp.broadcast_to(v[None], (scan_k,) + v.shape)
+                   for k, v in batch_d.items()}
+        compiled = mstep.lower(state, batch_s).compile()
+        for _ in range(2):
+            state, metrics = compiled(state, batch_s)
+        _ = float(metrics["loss"])
+        probe = jax.device_put(jnp.float32(0)) + 1
+        probe.block_until_ready()
+        t0 = time.perf_counter()
+        _ = float(probe)
+        rtt = time.perf_counter() - t0
+        launches = max(CT_STEPS // scan_k, 4)
+        t0 = time.perf_counter()
+        for i in range(launches):
+            state, metrics = compiled(state, batch_s)
+            if (i + 1) % 4 == 0:
+                _ = float(metrics["loss"])
+        final = float(metrics["loss"])
+        dt = max(time.perf_counter() - t0 - rtt * (launches // 4), 1e-9)
+        assert final == final, f"CT {mode} scan loss is NaN"
+        return dt / (launches * scan_k) * 1e3, None
     step = jax.jit(
         make_train_step(model, txs, M_N=0.00025,
                         fwd_kwargs_keys=(("input_y", "action")
@@ -880,6 +915,17 @@ def main():
                 ms_xla / ct["ct_causal_ms_per_step"], 3)
     except Exception as e:
         print(f"warning: causal XLA A/B failed: {e!r}", file=sys.stderr)
+    # Dispatch-amortized tier (exp_params.scan_steps / lax.scan over 8
+    # steps per launch): what the same step costs when per-launch tunnel
+    # dispatch is spread 8-fold — the "shrink that floor" half of
+    # round-4 VERDICT item 1.
+    for mode, b in (("causal", 16), ("action", 128), ("base", 128)):
+        try:
+            ms8, _ = bench_ct_step(mode, b, scan_k=8)
+            ct[f"ct_{mode}_ms_per_step_scan8"] = round(ms8, 2)
+        except Exception as e:
+            print(f"warning: CT scan8 bench ({mode}) failed: {e!r}",
+                  file=sys.stderr)
     # Round-4 VERDICT weak item 3/5: the action/base full-step A/Bs in
     # the artifact (flash forced on vs the default routing, which is
     # XLA attention for these modes). >1.0 means flash wins the full

@@ -36,7 +36,8 @@ from ..parallel.mesh import (make_hybrid_mesh, make_mesh,
                              pin_state_shardings, put_replicated,
                              shard_params_fsdp)
 from .optimizers import build_lr_schedules, build_optimizers
-from .state import TrainState, create_train_state, make_eval_step, make_train_step
+from .state import (TrainState, create_train_state, make_eval_step,
+                    make_multi_train_step, make_train_step)
 
 FWD_KEYS = ("labels", "action", "input_y")
 
@@ -108,6 +109,13 @@ class VAEXperiment:
         # grad/param norms every N steps — wandb.watch parity
         # (/root/reference/run.py:55 uses log_freq=500)
         self.watch_every = int(exp_params.get("watch_gradients", 0) or 0)
+        # exp_params.scan_steps: K > 1 fuses K consecutive SAME-MODE
+        # train steps into one lax.scan program (state.py
+        # make_multi_train_step) — one executable launch per K steps,
+        # amortizing per-launch dispatch latency (a ~5 ms/step floor
+        # through a remote-chip tunnel). Metric logging coarsens to the
+        # scan boundary (the last step of each block is observable).
+        self.scan_steps = max(1, int(exp_params.get("scan_steps", 1) or 1))
         self.kld_weight = float(exp_params.get("kld_weight", 1.0))
         # smallest leaf (elements) worth sharding — below this the
         # all-gather latency costs more than the memory saved
@@ -234,6 +242,22 @@ class VAEXperiment:
             self._train_steps[key] = jax.jit(fn, donate_argnums=0)
         return self._train_steps[key]
 
+    def _multi_train_step(self, mode: str, opt_idx: int, k: int):
+        """K-step scanned train step (exp_params.scan_steps); input is a
+        batch dict whose every leaf is stacked [K, B, ...]."""
+        key = (mode, opt_idx, "scan", k)
+        if key not in self._train_steps:
+            static = {"mode": mode} if _has_modes(self.model) else None
+            fn = make_multi_train_step(
+                self.model, self.txs, n_steps=k, M_N=self.kld_weight,
+                optimizer_idx=opt_idx, fwd_kwargs_keys=FWD_KEYS,
+                static_fwd_kwargs=static,
+                watch_modules=self.watch_every > 0)
+            if self.sharding == "fsdp":
+                fn = pin_state_shardings(fn, self.state)
+            self._train_steps[key] = jax.jit(fn, donate_argnums=0)
+        return self._train_steps[key]
+
     def _eval_step(self, mode: str):
         if mode not in self._eval_steps:
             static = {"mode": mode} if _has_modes(self.model) else None
@@ -255,34 +279,79 @@ class VAEXperiment:
         # the surrounding mesh context makes intra-model sharding
         # constraints (sequence parallelism, shard_dim) resolvable at
         # trace time; it is free for plain DP/FSDP steps
+        # exp_params.scan_steps: blocks of K consecutive same-mode
+        # batches run as ONE lax.scan program (launch-dispatch
+        # amortization). Adversarial models (n_opt > 1) alternate
+        # optimizers per batch and keep the per-step path.
+        scan_k = self.scan_steps if n_opt == 1 else 1
+        pending: list = []
+        pend_mode: Optional[str] = None
+
+        def _log_after(n_new):
+            """Step-cadence logging, evaluated once per executed block
+            (a scan block logs its LAST step's metrics when any step in
+            the block crossed the cadence boundary)."""
+            if self.logger is None:
+                return
+            at_log = self.global_step % self.log_every < n_new
+            at_watch = bool(self.watch_every) and \
+                self.global_step % self.watch_every < n_new
+            if at_log or at_watch:
+                logged = dict(jax.device_get(metrics))
+                if not at_watch:         # watch keys ride their own cadence
+                    logged = {k: v for k, v in logged.items()
+                              if not _is_watch_key(k)}
+                if not at_log:
+                    logged = {k: v for k, v in logged.items()
+                              if _is_watch_key(k)}
+                if at_log:
+                    for i, sched in enumerate(self.lr_schedules):
+                        suffix = "" if i == 0 else f"_{i + 1}"
+                        logged[f"lr{suffix}"] = np.float32(
+                            sched(self.global_step))
+                self.logger.log_all(logged, self.global_step)
+
+        def _flush():
+            """Execute the buffered same-mode batches: one scan program
+            at exactly K, per-step programs for a short remainder (no
+            extra compile per leftover length)."""
+            nonlocal metrics, images
+            items, mode = pending[:], pend_mode
+            pending.clear()
+            if not items:
+                return
+            with self.mesh:
+                if len(items) == scan_k and scan_k > 1:
+                    stacked = {k: jnp.stack([b[k] for b in items])
+                               for k in items[0]}
+                    mstep = self._multi_train_step(mode, 0, scan_k)
+                    self.state, metrics = mstep(self.state, stacked)
+                else:
+                    for b in items:
+                        for opt_idx in range(n_opt):
+                            step = self._train_step(mode, opt_idx)
+                            self.state, metrics = step(self.state, b)
+            images += sum(int(b["image"].shape[0]) for b in items)
+            self.global_step += len(items)
+            _log_after(len(items))
+
         for batch in prefetch_to_device(self.data.train_dataloader(epoch),
                                         self.mesh):
             mode = batch.pop("mode", "base")
-            sbatch = batch
-            with self.mesh:
-                for opt_idx in range(n_opt):
-                    step = self._train_step(mode, opt_idx)
-                    self.state, metrics = step(self.state, sbatch)
-            images += int(sbatch["image"].shape[0])
-            self.global_step += 1
-            if self.logger is not None:
-                at_log = self.global_step % self.log_every == 0
-                at_watch = bool(self.watch_every) and \
-                    self.global_step % self.watch_every == 0
-                if at_log or at_watch:
-                    logged = dict(jax.device_get(metrics))
-                    if not at_watch:     # watch keys ride their own cadence
-                        logged = {k: v for k, v in logged.items()
-                                  if not _is_watch_key(k)}
-                    if not at_log:
-                        logged = {k: v for k, v in logged.items()
-                                  if _is_watch_key(k)}
-                    if at_log:
-                        for i, sched in enumerate(self.lr_schedules):
-                            suffix = "" if i == 0 else f"_{i + 1}"
-                            logged[f"lr{suffix}"] = np.float32(
-                                sched(self.global_step))
-                    self.logger.log_all(logged, self.global_step)
+            if scan_k > 1:
+                if pending and (mode != pend_mode
+                                or batch["image"].shape
+                                != pending[0]["image"].shape):
+                    _flush()   # mode switch or epoch-tail batch size
+                pend_mode = mode
+                pending.append(batch)
+                if len(pending) == scan_k:
+                    _flush()
+            else:
+                pend_mode = mode
+                pending.append(batch)
+                _flush()
+        _flush()
         if metrics is None:
             raise RuntimeError(
                 f"train epoch {epoch} produced zero batches — the dataset "

@@ -169,6 +169,47 @@ def make_train_step(
     return step_fn
 
 
+def make_multi_train_step(
+    model: BaseVAE,
+    txs: Sequence[optax.GradientTransformation],
+    *,
+    n_steps: int,
+    M_N: float,
+    optimizer_idx: int = 0,
+    fwd_kwargs_keys: Sequence[str] = ("labels",),
+    static_fwd_kwargs: Optional[Dict[str, Any]] = None,
+    watch_modules: bool = False,
+) -> Callable[[TrainState, Dict[str, Array]], Tuple[TrainState, Dict[str, Array]]]:
+    """``n_steps`` train steps in ONE compiled program via ``lax.scan``.
+
+    Takes a stacked batch dict (every leaf ``[n_steps, B, ...]``) and
+    runs the same step as :func:`make_train_step` over it, returning the
+    LAST step's metrics. One executable launch per ``n_steps`` steps:
+    through a remote-chip tunnel, per-launch dispatch latency is a real
+    per-step floor (measured ~5 ms/step on the causal CT step,
+    BENCH_r05 ``ct_causal_breakdown_ms.dispatch_idle_ms``), and the
+    scan amortizes it n_steps-fold. Semantics match n_steps sequential
+    calls exactly: the per-step PRNG folds ``state.step``, which the
+    scan body advances.
+
+    No reference counterpart (a synchronous CUDA queue hides dispatch);
+    this is TPU-tunnel/production hardening, used by bench.py's
+    ``*_scan8`` tiers and ``exp_params.scan_steps``.
+    """
+    step_fn = make_train_step(model, txs, M_N=M_N,
+                              optimizer_idx=optimizer_idx,
+                              fwd_kwargs_keys=fwd_kwargs_keys,
+                              static_fwd_kwargs=static_fwd_kwargs,
+                              watch_modules=watch_modules)
+
+    def multi_fn(state: TrainState, batches: Dict[str, Array]):
+        state, metrics = jax.lax.scan(step_fn, state, batches,
+                                      length=n_steps)
+        return state, jax.tree_util.tree_map(lambda x: x[-1], metrics)
+
+    return multi_fn
+
+
 def make_eval_step(
     model: BaseVAE,
     *,
