@@ -116,6 +116,18 @@ class VAEXperiment:
         # through a remote-chip tunnel). Metric logging coarsens to the
         # scan boundary (the last step of each block is observable).
         self.scan_steps = max(1, int(exp_params.get("scan_steps", 1) or 1))
+        # exp_params.hang_watchdog: seconds > 0 guards every periodic
+        # device->host metric fetch with utils/watchdog.py — a wedged
+        # chip (observed ~1 per 5-10k causal steps with the flash
+        # kernels on this tunnel, PARITY round-5 soak notes) raises
+        # StepHangError instead of blocking forever; run.py turns that
+        # into exit code 75 so a supervisor restarts from the last
+        # checkpoint (optionally with CTVAE_FLASH_GAT=0). DEFAULT ON at
+        # 300 s: fetches happen only on already-compiled programs, so
+        # the legitimate worst case is a bounded-queue drain (well under
+        # a minute even on the contended 1-core CI host); 0 disables.
+        wd = exp_params.get("hang_watchdog", 300.0)
+        self.hang_watchdog = float(0 if wd is None else wd)
         self.kld_weight = float(exp_params.get("kld_weight", 1.0))
         # smallest leaf (elements) worth sharding — below this the
         # all-gather latency costs more than the memory saved
@@ -297,7 +309,14 @@ class VAEXperiment:
             at_watch = bool(self.watch_every) and \
                 self.global_step % self.watch_every < n_new
             if at_log or at_watch:
-                logged = dict(jax.device_get(metrics))
+                if self.hang_watchdog > 0:
+                    from ..utils.watchdog import watchdog_call
+                    logged = dict(watchdog_call(
+                        lambda: jax.device_get(metrics),
+                        self.hang_watchdog,
+                        context={"step": self.global_step}))
+                else:
+                    logged = dict(jax.device_get(metrics))
                 if not at_watch:         # watch keys ride their own cadence
                     logged = {k: v for k, v in logged.items()
                               if not _is_watch_key(k)}
@@ -361,8 +380,15 @@ class VAEXperiment:
         # Reported train metrics are the LAST batch's values (matching the
         # reference, whose per-step log_dict shows the most recent batch,
         # /root/reference/experiment.py:57) — not an epoch average.
-        host = {k: float(v) for k, v in jax.device_get(metrics).items()
-                if np.ndim(v) == 0}
+        if self.hang_watchdog > 0:
+            from ..utils.watchdog import watchdog_call
+            got = watchdog_call(lambda: jax.device_get(metrics),
+                                self.hang_watchdog,
+                                context={"step": self.global_step,
+                                         "at": "epoch_end"})
+        else:
+            got = jax.device_get(metrics)
+        host = {k: float(v) for k, v in got.items() if np.ndim(v) == 0}
         dt = time.perf_counter() - t0
         host["images_per_sec"] = images / max(dt, 1e-9)
         return host

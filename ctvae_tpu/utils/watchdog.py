@@ -45,12 +45,10 @@ def log_incident(payload: dict) -> None:
         pass
 
 
-def watchdog_fetch(x: Any, timeout_s: float,
-                   context: Optional[dict] = None) -> float:
-    """``float(x)`` with a hang watchdog.
-
-    Runs the device->host fetch in a daemon thread and joins with
-    ``timeout_s``. On timeout an incident is appended to
+def watchdog_call(fn, timeout_s: float,
+                  context: Optional[dict] = None):
+    """Run ``fn()`` (a device->host fetch) in a daemon thread and join
+    with ``timeout_s``. On timeout an incident is appended to
     ``CTVAE_INCIDENT_LOG`` (default logs/incidents.jsonl) and
     :class:`StepHangError` is raised; the fetch thread is abandoned (a
     wedged chip keeps it blocked until the runtime reclaims it).
@@ -64,7 +62,7 @@ def watchdog_fetch(x: Any, timeout_s: float,
 
     def _fetch():
         try:
-            out.append(float(x))
+            out.append(fn())
         except Exception as e:  # noqa: BLE001 - forwarded to caller
             err.append(e)
 
@@ -81,3 +79,9 @@ def watchdog_fetch(x: Any, timeout_s: float,
     if err:
         raise err[0]
     return out[0]
+
+
+def watchdog_fetch(x: Any, timeout_s: float,
+                   context: Optional[dict] = None) -> float:
+    """``float(x)`` under :func:`watchdog_call`."""
+    return watchdog_call(lambda: float(x), timeout_s, context)

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import argparse
 import os
+import sys
 
 import numpy as np
 import yaml
@@ -143,8 +144,24 @@ def main():
     max_epochs = int(trainer_params.get("max_epochs", 100))
     print(f"======= Training {model_params.get('name')} "
           f"on {len(jax.devices())} device(s) =======")
-    final = experiment.fit(max_epochs, seed=seed,
-                           sample_dir=logger.log_dir)
+    try:
+        final = experiment.fit(max_epochs, seed=seed,
+                               sample_dir=logger.log_dir)
+    except Exception as e:
+        from ctvae_tpu.utils.watchdog import (StepHangError,
+                                              incident_log_path)
+        if isinstance(e, StepHangError):
+            # exp_params.hang_watchdog tripped: the chip is wedged and
+            # unrecoverable in-process. Exit 75 (EX_TEMPFAIL) so a
+            # supervisor restarts from the last orbax checkpoint —
+            # typically with CTVAE_FLASH_GAT=0 to pin the XLA path.
+            print(f"=> step hang detected ({e}); incident appended to "
+                  f"{incident_log_path()}. Restart with "
+                  f"trainer_params.resume_from_checkpoint (last) — set "
+                  f"CTVAE_FLASH_GAT=0 to pin the XLA attention path.",
+                  file=sys.stderr)
+            sys.exit(75)
+        raise
     logger.finish()
     print({k: round(v, 5) for k, v in final.items()
            if isinstance(v, float)})

@@ -108,8 +108,11 @@ def test_experiment_scan_steps_integration():
                       val_batch_size=8, patch_size=16, distributed=False,
                       limit=40, val_limit=8)
     data.setup()
+    # hang_watchdog routes the metric fetches through watchdog_call —
+    # this also asserts no false positives on a healthy backend
     exp = VAEXperiment(model, {"LR": 1e-3, "kld_weight": 0.00025,
-                               "manual_seed": 0, "scan_steps": 2}, data)
+                               "manual_seed": 0, "scan_steps": 2,
+                               "hang_watchdog": 120.0}, data)
     first = next(iter(data.train_dataloader(0)))
     exp.setup(first, seed=0)
     n_batches = sum(1 for _ in data.train_dataloader(0))
