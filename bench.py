@@ -927,17 +927,17 @@ def main():
             print(f"warning: CT scan8 bench ({mode}) failed: {e!r}",
                   file=sys.stderr)
     # Round-4 VERDICT weak item 3/5: the action/base full-step A/Bs in
-    # the artifact (flash forced on vs the default routing, which is
-    # XLA attention for these modes). >1.0 means flash wins the full
-    # step; ~1.0 documents auto=causal-only as the shipped policy with
-    # numbers instead of a PARITY prose note.
+    # the artifact. The shipped default routes flash in EVERY mode
+    # (round-5: the v2 kernel + Tc=24 won the full step everywhere),
+    # so the A/B arm pins the XLA formulation; speedup = xla/default,
+    # >1.0 means the shipped flash default wins that mode's full step.
     for mode in ("action", "base"):
         try:
-            ms_flash, _ = bench_ct_step(mode, 128, force_flash=True)
-            ct[f"ct_{mode}_ms_per_step_flash"] = round(ms_flash, 2)
+            ms_xla_m, _ = bench_ct_step(mode, 128, force_xla=True)
+            ct[f"ct_{mode}_ms_per_step_xla"] = round(ms_xla_m, 2)
             if ct.get(f"ct_{mode}_ms_per_step"):
                 ct[f"ct_{mode}_flash_speedup"] = round(
-                    ct[f"ct_{mode}_ms_per_step"] / ms_flash, 3)
+                    ms_xla_m / ct[f"ct_{mode}_ms_per_step"], 3)
         except Exception as e:
             print(f"warning: {mode} flash A/B failed: {e!r}",
                   file=sys.stderr)

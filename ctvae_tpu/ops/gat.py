@@ -241,17 +241,18 @@ class DenseGATv2Layer(nn.Module):
         """Route the attention through the flash-fused Pallas kernel
         (ops/gat_flash.py): CTVAE_FLASH_GAT=1 forces it on any backend
         (CPU runs the interpreter — tests); "auto" (the default) uses
-        it on a TPU backend ONLY inside ``flash_scope()`` — the CT
-        causal/transition path, where the kernel's single-rewalk
-        backward wins (+15% full causal step on v5e) while the
-        action/base steps measure faster on the XLA fused+one-walk
-        formulation (chip A/B 2026-08-20, scripts/bench_gat_flash.py);
-        0 disables everywhere. Incompatible with the chunked-workspace
-        mode (the kernel holds one [S,T,F] head-block in VMEM by
-        construction), with sequence parallelism (the kernel grid owns
-        the full target axis per program; SP splits that domain across
-        chips on the XLA path instead), and pointless without
-        fused_logits (parity tests pin the einsum path)."""
+        it on ANY TPU backend — with the v2 lane-packed kernel and the
+        Tc=24 chunk default the full train step wins in every CT mode
+        (BENCH_r05: causal 1.74×, action 1.07×, base 1.09× vs the XLA
+        formulation; round-4's action/base wash is gone). "scope"
+        restores the round-4 causal-only policy (flash only inside
+        ``flash_scope()``); 0 disables everywhere. Incompatible with
+        the chunked-workspace mode (the kernel holds one [S,T,F]
+        head-block in VMEM by construction), with sequence parallelism
+        (the kernel grid owns the full target axis per program; SP
+        splits that domain across chips on the XLA path instead), and
+        pointless without fused_logits (parity tests pin the einsum
+        path)."""
         if not self.fused_logits or self.block_cols or self.seq_axis:
             return False
         if _in_force_xla_scope():   # export pins the portable XLA path
@@ -259,8 +260,9 @@ class DenseGATv2Layer(nn.Module):
         v = os.environ.get("CTVAE_FLASH_GAT", "auto")
         if v == "1":
             return True
-        return (v == "auto" and _in_flash_scope()
-                and jax.default_backend() == "tpu")
+        if v == "scope":
+            return _in_flash_scope() and jax.default_backend() == "tpu"
+        return v == "auto" and jax.default_backend() == "tpu"
 
     def __call__(self, x: Array, adj: Array) -> Array:
         """x: [B, T, Fin], adj: [B, T, T] (adj[b, s, t] = edge s->t).
